@@ -1,0 +1,131 @@
+"""Evaluation metrics: cross-modal cosine similarity and kNN retrieval.
+
+Counterparts of reference impl/validation.py. The reference's
+``knn_test`` loops over every sample in Python with per-row topk calls
+(impl/validation.py:66-75, O(N^2) with per-row kernel launches); here
+both directions collapse into one blocked distance computation + top-k
+-- the same tiled primitive as graph construction.
+
+As in the reference, both metrics *re-embed* the inputs with a full
+transform optimization (impl/validation.py:25,62) rather than a
+closed-form projection; embeddings are therefore stochastic and parity
+is statistical (SURVEY.md §2.10l).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..models.mixture import MultimodalUMAP
+from ..ops.knn import knn
+
+
+def embed(
+    model: MultimodalUMAP, data: list, src: list[int], cfg: Config
+) -> list[jax.Array]:
+    """Out-of-sample embedding wrapper (reference impl/util.py:63-87)."""
+    return model.transform(
+        data,
+        epochs=cfg.test_epochs,
+        data_indices=src,
+        num_rep=cfg.num_rep,
+        lr=cfg.lr,
+        alpha=cfg.alpha,
+        batch_size=cfg.batch_size,
+    )
+
+
+def recon(
+    model: MultimodalUMAP, embeds: list, dst: list[int], cfg: Config
+) -> list[jax.Array]:
+    """Reconstruction wrapper (reference impl/util.py:89-113)."""
+    return model.inverse_transform(
+        embeds,
+        epochs=cfg.test_epochs,
+        data_indices=dst,
+        num_rep=cfg.num_rep,
+        lr=cfg.lr,
+        alpha=cfg.alpha,
+        batch_size=cfg.batch_size,
+    )
+
+
+def embed_and_recon(
+    model: MultimodalUMAP, data: list, src: list[int], dst: list[int],
+    cfg: Config,
+) -> list[jax.Array]:
+    """Cross-modal translation (reference impl/util.py:115-129)."""
+    return recon(model, embed(model, data, src, cfg), dst, cfg)
+
+
+@jax.jit
+def _mean_pairwise_cosine(stacked: jax.Array) -> jax.Array:
+    """Mean over samples of the mean over modality pairs of row-wise
+    cosine similarity; ``stacked`` is (M, N, D) L2-normalized."""
+    m = stacked.shape[0]
+    sims = []
+    for i in range(m):
+        for j in range(i + 1, m):
+            sims.append(jnp.sum(stacked[i] * stacked[j], axis=1))
+    return jnp.mean(jnp.stack(sims, axis=1), axis=1).mean()
+
+
+def similarity_test(
+    data: dict, cfg: Config, model: MultimodalUMAP,
+    return_values: bool = False,
+) -> float | None:
+    """Average cross-modal cosine similarity after re-embedding
+    (reference impl/validation.py:7-38)."""
+    tensors = [data[key] for key in data]
+    num_modes = len(tensors)
+    embeds = embed(model, tensors, list(range(num_modes)), cfg)
+    normed = jnp.stack(
+        [e / jnp.maximum(jnp.linalg.norm(e, axis=1, keepdims=True), 1e-12)
+         for e in embeds]
+    )
+    result = float(_mean_pairwise_cosine(normed))
+    print(f"Average cross-modal cosine similarity: {result:.4f}")
+    if return_values:
+        return result
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _bidirectional_recall(src: jax.Array, dst: jax.Array, k: int) -> jax.Array:
+    """Fraction of rows whose paired row lands in the cross-modal top-k,
+    averaged over both directions -- one blocked kNN per direction
+    instead of the reference's per-row Python loop."""
+    n = src.shape[0]
+    _, fwd = knn(src, dst, k)
+    _, bwd = knn(dst, src, k)
+    ids = jnp.arange(n, dtype=jnp.int32)[:, None]
+    hit_fwd = jnp.any(fwd == ids, axis=1)
+    hit_bwd = jnp.any(bwd == ids, axis=1)
+    return (jnp.mean(hit_fwd.astype(jnp.float32))
+            + jnp.mean(hit_bwd.astype(jnp.float32))) / 2.0
+
+
+def knn_test(
+    data: dict, cfg: Config, k: int = 5, model: MultimodalUMAP | None = None,
+    return_values: bool = False,
+) -> float | None:
+    """Bidirectional kNN retrieval accuracy @k, averaged over modality
+    pairs (reference impl/validation.py:40-84). Each pair is re-embedded
+    independently, as in the reference (SURVEY.md §2.10l)."""
+    tensors = [data[key] for key in data]
+    num_modes = len(tensors)
+    accs = []
+    for i in range(num_modes):
+        for j in range(i + 1, num_modes):
+            embeds = embed(model, [tensors[i], tensors[j]], [i, j], cfg)
+            accs.append(float(_bidirectional_recall(embeds[0], embeds[1], k)))
+    result = float(np.mean(accs))
+    print(f"Average {k}-NN accuracy: {result:.4f}")
+    if return_values:
+        return result
+    return None

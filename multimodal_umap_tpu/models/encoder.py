@@ -1,0 +1,102 @@
+"""Per-modality encoder: exact kNN graph + fuzzy weights + spectral init.
+
+TPU-native counterpart of the reference's ``UMAPEncoder``
+(reference impl/model.py:12-278). The three graph modes are preserved:
+
+  * ``fit``       -- self-graph of the training features, symmetrized by
+                     the fuzzy-union t-conorm, spectral initialization;
+  * ``transform`` -- query-vs-train graph in *feature* space, fuzzy
+                     weights with fresh per-query sigma/rho, initialized
+                     by the affinity-weighted average of the stored
+                     train embeddings (impl/model.py:273-274);
+  * ``invert``    -- query-vs-train graph in *latent* space with
+                     output-curve weights (impl/model.py:205-206),
+                     initialized by the affinity-weighted average of the
+                     training **data** rows -- the intended (fixed)
+                     semantics; the reference as shipped crashes here
+                     (SURVEY.md §2.10a).
+
+NN-descent (impl/model.py:63-209) is replaced by exact tiled kNN: a
+strict quality upgrade that also guarantees exactly k neighbors per row
+(removing the reference's fragile ``view(Q, k)`` assumption, SURVEY.md
+§2.10e).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.graph import (
+    EdgeGraph,
+    curve_weights,
+    directed_graph,
+    embed_query,
+    fuzzy_weights,
+    symmetrize,
+)
+from ..ops.knn import knn
+from ..ops.spectral import spectral_embedding
+
+
+@dataclasses.dataclass
+class ModalityEncoder:
+    """Graph state for one modality.
+
+    Attributes:
+        k_neighbors: neighbors per point.
+        out_dim: latent dimensionality.
+        id: modality index (display / bookkeeping).
+        sigmas: (N,) fit-time bandwidths (persisted at fit only,
+            reference impl/model.py:202-204).
+        rhos: (N,) fit-time nearest-neighbor distances.
+    """
+
+    k_neighbors: int
+    out_dim: int
+    id: int = 0
+    sigmas: jax.Array | None = None
+    rhos: jax.Array | None = None
+
+    def fit_graph(self, features: jax.Array) -> tuple[EdgeGraph, jax.Array]:
+        """Builds the symmetric fuzzy graph and its spectral embedding."""
+        dists, nbrs = knn(
+            features, features, self.k_neighbors, exclude_self=True
+        )
+        weights, rhos, sigmas = fuzzy_weights(dists)
+        self.sigmas = sigmas
+        self.rhos = rhos
+        graph = symmetrize(nbrs, weights)
+        embed = spectral_embedding(graph, self.out_dim)
+        return graph, embed
+
+    def transform_graph(
+        self,
+        query: jax.Array,
+        train_features: jax.Array,
+        train_embeds: jax.Array,
+    ) -> tuple[EdgeGraph, jax.Array]:
+        """Query-to-train graph + weighted-average initialization."""
+        dists, nbrs = knn(query, train_features, self.k_neighbors)
+        weights, _, _ = fuzzy_weights(dists)
+        graph = directed_graph(nbrs, weights, train_features.shape[0])
+        init = embed_query(nbrs, weights, train_embeds)
+        return graph, init
+
+    def invert_graph(
+        self,
+        query_embeds: jax.Array,
+        train_embeds: jax.Array,
+        train_data: jax.Array,
+        a: float,
+        b: float,
+    ) -> tuple[EdgeGraph, jax.Array]:
+        """Latent-space graph + data-space initialization (fixed invert
+        semantics, SURVEY.md §2.10a)."""
+        dists, nbrs = knn(query_embeds, train_embeds, self.k_neighbors)
+        weights = curve_weights(dists, jnp.float32(a), jnp.float32(b))
+        graph = directed_graph(nbrs, weights, train_embeds.shape[0])
+        init = embed_query(nbrs, weights, train_data)
+        return graph, init

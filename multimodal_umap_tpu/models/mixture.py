@@ -1,0 +1,334 @@
+"""Multimodal UMAP mixture model: the public model API.
+
+TPU-native counterpart of the reference's ``UMAPMixture``
+(reference impl/model.py:280-713) with the same lifecycle surface:
+``fit`` / ``fit_transform`` / ``transform`` / ``inverse_transform`` /
+``save_state_dict`` / ``load_state_dict`` / ``get_ab_coeffs``. Method
+defaults mirror the reference's signatures (lr=0.2, alpha=0.5,
+batch_size=512 -- impl/model.py:483,527,557); the canonical experiment
+values flow in from the CLI via ``Config`` (SURVEY.md §2.10f).
+
+Internally everything is fixed-shape and jit-compiled: graphs are
+(N, k)-derived edge lists, the layout optimizer is one scanned Adam
+step per epoch, and state round-trips through npz.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.graph import EdgeGraph
+from ..utils import checkpoint as ckpt
+from .curve import get_ab_coeffs as _get_ab_coeffs
+from .encoder import ModalityEncoder
+from .layout import task_from_graph, train_layout
+
+
+def _as_f32(x) -> jax.Array:
+    return jnp.asarray(np.asarray(x), dtype=jnp.float32)
+
+
+def _as_2d(x) -> jax.Array:
+    x = _as_f32(x)
+    return x[None, :] if x.ndim == 1 else x
+
+
+class MultimodalUMAP:
+    """Shared-latent multimodal UMAP with InfoNCE alignment.
+
+    Attributes:
+        k_neighbors, out_dim, min_dist, num_encoders: hyperparameters.
+        a, b: fitted UMAP curve coefficients.
+        encoders: per-modality :class:`ModalityEncoder` graph state.
+        data: training features per modality (required by
+            transform/invert, hence persisted -- SURVEY.md §2.10h).
+        graphs: symmetric fuzzy EdgeGraphs per modality.
+        embeds: trained latent embeddings per modality.
+    """
+
+    def __init__(
+        self,
+        k_neighbors: int,
+        out_dim: int,
+        min_dist: float,
+        num_encoders: int,
+        seed: int = 0,
+    ):
+        self.k_neighbors = k_neighbors
+        self.out_dim = out_dim
+        self.min_dist = min_dist
+        self.num_encoders = num_encoders
+        self.seed = seed
+
+        self.a, self.b = self.get_ab_coeffs(min_dist)
+
+        self.encoders = [
+            ModalityEncoder(k_neighbors, out_dim, id=i)
+            for i in range(num_encoders)
+        ]
+        self.data: list[jax.Array] | None = None
+        self.graphs: list[EdgeGraph] = []
+        self.embeds: list[jax.Array] = []
+        self.loss_history: dict[str, np.ndarray] = {}
+
+    # ------------------------------------------------------------------
+    # Lifecycle
+    # ------------------------------------------------------------------
+
+    def fit(
+        self,
+        inputs,
+        epochs: int,
+        num_rep: int = 8,
+        lr: float = 0.2,
+        alpha: float = 0.5,
+        batch_size: int = 512,
+    ) -> None:
+        """Fits the shared latent space to multimodal training data.
+
+        Args:
+            inputs: list of per-modality feature arrays, shape (N_i, D_i).
+            epochs: training epochs (one Adam step each).
+            num_rep: negative samples per kept edge.
+            lr: Adam learning rate.
+            alpha: InfoNCE weight (effective 2*alpha, SURVEY.md §2.10c).
+            batch_size: row-window size for loss averaging.
+        """
+        self.data = [_as_f32(x) for x in inputs]
+        if len(self.data) != self.num_encoders:
+            raise ValueError(
+                f"expected {self.num_encoders} modalities, got {len(self.data)}"
+            )
+
+        graphs, inits = [], []
+        for enc, feats in zip(self.encoders, self.data):
+            graph, init = enc.fit_graph(feats)
+            graphs.append(graph)
+            inits.append(init)
+        self.graphs = graphs
+
+        tasks, statics = zip(
+            *(task_from_graph(g, batch_size) for g in graphs)
+        )
+        embeds, hist = train_layout(
+            inits,
+            tasks,
+            statics,
+            mode="fit",
+            epochs=epochs,
+            num_rep=num_rep,
+            lr=lr,
+            alpha=alpha,
+            batch_size=batch_size,
+            a=self.a,
+            b=self.b,
+            key=jax.random.PRNGKey(self.seed),
+        )
+        self.embeds = embeds
+        self.loss_history["fit"] = np.asarray(hist)
+
+    def fit_transform(
+        self,
+        inputs,
+        epochs: int,
+        num_rep: int = 8,
+        lr: float = 0.2,
+        alpha: float = 0.5,
+        batch_size: int = 512,
+    ) -> list[jax.Array]:
+        """Fits and returns the training embeddings."""
+        self.fit(inputs, epochs, num_rep, lr, alpha, batch_size)
+        return self.embeds
+
+    def transform(
+        self,
+        inputs,
+        epochs: int,
+        data_indices: list[int] | None = None,
+        num_rep: int = 8,
+        lr: float = 0.2,
+        alpha: float = 0.5,
+        batch_size: int = 512,
+    ) -> list[jax.Array]:
+        """Embeds new data into the learned latent space.
+
+        Query graphs are built in feature space against the stored
+        training features; queries are initialized as affinity-weighted
+        averages of train embeddings and optimized with the references
+        frozen (reference impl/model.py:527-555).
+        """
+        self._require_fitted()
+        indices = (
+            list(data_indices)
+            if data_indices is not None
+            else list(range(self.num_encoders))
+        )
+        queries = [_as_2d(x) for x in inputs]
+        if len(queries) != len(indices):
+            raise ValueError("inputs and data_indices length mismatch")
+
+        tasks, statics, inits = [], [], []
+        for q, enc_idx in zip(queries, indices):
+            enc = self.encoders[enc_idx]
+            graph, init = enc.transform_graph(
+                q, self.data[enc_idx], self.embeds[enc_idx]
+            )
+            task, static = task_from_graph(
+                graph, batch_size, ref=self.embeds[enc_idx]
+            )
+            tasks.append(task)
+            statics.append(static)
+            inits.append(init)
+
+        embeds, hist = train_layout(
+            inits,
+            tasks,
+            statics,
+            mode="transform",
+            epochs=epochs,
+            num_rep=num_rep,
+            lr=lr,
+            alpha=alpha,
+            batch_size=batch_size,
+            a=self.a,
+            b=self.b,
+            key=jax.random.PRNGKey(self.seed + 1),
+        )
+        self.loss_history["transform"] = np.asarray(hist)
+        return embeds
+
+    def inverse_transform(
+        self,
+        inputs,
+        epochs: int,
+        data_indices: list[int] | None = None,
+        num_rep: int = 8,
+        lr: float = 0.2,
+        alpha: float = 0.5,
+        batch_size: int = 512,
+    ) -> list[jax.Array]:
+        """Reconstructs original features from latent embeddings.
+
+        Implements the *intended* invert semantics (the reference as
+        shipped crashes, SURVEY.md §2.10a): query graphs live in latent
+        space with output-curve weights, reconstructions start as
+        affinity-weighted averages of training **data** rows and are
+        optimized with the inverse attract/repel losses against the
+        stored features.
+        """
+        self._require_fitted()
+        indices = (
+            list(data_indices)
+            if data_indices is not None
+            else list(range(self.num_encoders))
+        )
+        queries = [_as_2d(x) for x in inputs]
+        if len(queries) != len(indices):
+            raise ValueError("inputs and data_indices length mismatch")
+
+        tasks, statics, inits = [], [], []
+        for z, enc_idx in zip(queries, indices):
+            enc = self.encoders[enc_idx]
+            graph, init = enc.invert_graph(
+                z,
+                self.embeds[enc_idx],
+                self.data[enc_idx],
+                self.a,
+                self.b,
+            )
+            task, static = task_from_graph(
+                graph,
+                batch_size,
+                ref=self.data[enc_idx],
+                sigmas=enc.sigmas,
+                rhos=enc.rhos,
+            )
+            tasks.append(task)
+            statics.append(static)
+            inits.append(init)
+
+        recons, hist = train_layout(
+            inits,
+            tasks,
+            statics,
+            mode="invert",
+            epochs=epochs,
+            num_rep=num_rep,
+            lr=lr,
+            alpha=alpha,
+            batch_size=batch_size,
+            a=self.a,
+            b=self.b,
+            key=jax.random.PRNGKey(self.seed + 2),
+        )
+        self.loss_history["invert"] = np.asarray(hist)
+        return recons
+
+    # ------------------------------------------------------------------
+    # Curve fit & persistence
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def get_ab_coeffs(min_dist: float, num_iters: int = 50):
+        """Gauss-Newton fit of the (a, b) curve (see models/curve.py)."""
+        return _get_ab_coeffs(min_dist, num_iters=num_iters)
+
+    def save_state_dict(self, path: str) -> None:
+        """Saves the full model state (includes the training dataset,
+        graphs, and embeddings, as in reference impl/model.py:653-683)."""
+        self._require_fitted()
+        ckpt.save_state(
+            path,
+            {
+                "k_neighbors": self.k_neighbors,
+                "out_dim": self.out_dim,
+                "min_dist": self.min_dist,
+                "num_encoders": self.num_encoders,
+                "a": self.a,
+                "b": self.b,
+                "sigmas": [e.sigmas for e in self.encoders],
+                "rhos": [e.rhos for e in self.encoders],
+                "data": self.data,
+                "graphs": self.graphs,
+                "embeds": self.embeds,
+            },
+        )
+
+    save = save_state_dict
+
+    @classmethod
+    def load_state_dict(cls, path: str) -> "MultimodalUMAP":
+        """Restores a model saved by :meth:`save_state_dict`."""
+        state = ckpt.load_state(path)
+        model = cls.__new__(cls)
+        model.k_neighbors = state["k_neighbors"]
+        model.out_dim = state["out_dim"]
+        model.min_dist = state["min_dist"]
+        model.num_encoders = state["num_encoders"]
+        model.seed = 0
+        model.a = state["a"]
+        model.b = state["b"]
+        model.encoders = [
+            ModalityEncoder(model.k_neighbors, model.out_dim, id=i)
+            for i in range(model.num_encoders)
+        ]
+        for enc, sig, rho in zip(model.encoders, state["sigmas"], state["rhos"]):
+            enc.sigmas = sig
+            enc.rhos = rho
+        model.data = state["data"]
+        model.graphs = state["graphs"]
+        model.embeds = state["embeds"]
+        model.loss_history = {}
+        return model
+
+    load = load_state_dict
+
+    def _require_fitted(self) -> None:
+        if self.data is None or not self.embeds:
+            raise RuntimeError("model is not fitted; call fit() first")
+
+
+# Reference-compatible alias (reference impl/model.py:280).
+UMAPMixture = MultimodalUMAP

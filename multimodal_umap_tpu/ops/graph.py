@@ -1,0 +1,158 @@
+"""Fuzzy simplicial-set construction on fixed-shape (N, k) arrays.
+
+Under exact kNN every graph structure is dense-indexed and fixed-shape:
+neighbor ids (N, k) int32, weights (N, k) f32. This removes all of the
+reference's sparse-COO bookkeeping (reference impl/model.py:92-195) and
+makes every stage jit-able and shardable.
+
+The symmetrized fit graph is the fuzzy-union t-conorm
+``A + A^T - A o A^T`` (reference impl/model.py:271), realized here as a
+fixed 2*N*k edge list: a forward copy of every directed kNN edge plus a
+transposed copy that is masked out when the reverse edge already exists
+in the kNN lists -- an exact cover of the symmetric matrix's nonzeros
+with static shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .sigma import solve_sigmas
+
+
+@struct.dataclass
+class EdgeGraph:
+    """Fixed-shape edge-list view of a (num_rows x num_cols) affinity.
+
+    ``valid`` masks padding/duplicate slots; every op treats invalid
+    edges as weight-0 absent entries.
+    """
+
+    rows: jax.Array  # (E,) int32
+    cols: jax.Array  # (E,) int32
+    weights: jax.Array  # (E,) f32
+    valid: jax.Array  # (E,) bool
+    num_rows: int = struct.field(pytree_node=False)
+    num_cols: int = struct.field(pytree_node=False)
+
+    @property
+    def num_edges(self) -> int:
+        return self.rows.shape[0]
+
+
+@functools.partial(jax.jit, static_argnames=("num_iters",))
+def fuzzy_weights(
+    dists: jax.Array, num_iters: int = 20
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Fuzzy membership weights w = exp(-(d - rho)/sigma).
+
+    Matches reference impl/model.py:197-204: rho is the per-row min
+    neighbor distance and sigma the Newton-solved bandwidth.
+
+    Args:
+        dists: (Q, k) neighbor distances from exact kNN.
+
+    Returns:
+        (weights (Q, k), rhos (Q,), sigmas (Q,)).
+    """
+    rhos = jnp.min(dists, axis=1)
+    sigmas = solve_sigmas(dists, rhos, num_iters=num_iters)
+    weights = jnp.exp(-(dists - rhos[:, None]) / sigmas[:, None])
+    return weights, rhos, sigmas
+
+
+@jax.jit
+def curve_weights(dists: jax.Array, a: jax.Array, b: jax.Array) -> jax.Array:
+    """Output-space curve weights 1/(1 + a d^(2b)) used in invert mode
+    (reference impl/model.py:205-206)."""
+    return 1.0 / (1.0 + a * jnp.power(jnp.maximum(dists, 1e-12), 2.0 * b))
+
+
+def directed_graph(nbrs: jax.Array, weights: jax.Array, num_cols: int) -> EdgeGraph:
+    """Flattens a (Q, k) kNN result into a Q*k edge list (all valid)."""
+    q, k = nbrs.shape
+    rows = jnp.repeat(jnp.arange(q, dtype=jnp.int32), k)
+    return EdgeGraph(
+        rows=rows,
+        cols=nbrs.reshape(-1).astype(jnp.int32),
+        weights=weights.reshape(-1).astype(jnp.float32),
+        valid=jnp.ones(q * k, dtype=bool),
+        num_rows=q,
+        num_cols=num_cols,
+    )
+
+
+@jax.jit
+def _symmetrize_arrays(nbrs: jax.Array, weights: jax.Array):
+    n, k = nbrs.shape
+    # Reverse-edge lookup: for edge (i, j=nbrs[i,m]), find w[j, l] where
+    # nbrs[j, l] == i. (N, k, k) gather -- k is small (~15).
+    nbrs_of_nbrs = nbrs[nbrs]  # (N, k, k)
+    row_ids = jnp.arange(n, dtype=nbrs.dtype)[:, None, None]
+    match = nbrs_of_nbrs == row_ids  # (N, k, k)
+    w_rev = jnp.sum(jnp.where(match, weights[nbrs], 0.0), axis=2)  # (N, k)
+    exists_rev = jnp.any(match, axis=2)  # (N, k)
+
+    # Fuzzy union t-conorm, symmetric per unordered pair.
+    sym_w = weights + w_rev - weights * w_rev
+
+    rows = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
+    cols = nbrs.reshape(-1).astype(jnp.int32)
+    sym_flat = sym_w.reshape(-1).astype(jnp.float32)
+    fwd_valid = jnp.ones(n * k, dtype=bool)
+    # Transposed copies cover entries (j, i); drop them when j already
+    # lists i (that entry is covered by j's own forward slot).
+    bwd_valid = ~exists_rev.reshape(-1)
+    return (
+        jnp.concatenate([rows, cols]),
+        jnp.concatenate([cols, rows]),
+        jnp.concatenate([sym_flat, sym_flat]),
+        jnp.concatenate([fwd_valid, bwd_valid]),
+    )
+
+
+def symmetrize(nbrs: jax.Array, weights: jax.Array) -> EdgeGraph:
+    """Fuzzy-union symmetrization A + A^T - A o A^T on kNN lists.
+
+    Returns a fixed 2*N*k edge list exactly covering the nonzeros of
+    the symmetric fuzzy graph (reference impl/model.py:271 semantics).
+    """
+    n = nbrs.shape[0]
+    rows, cols, w, valid = _symmetrize_arrays(nbrs, weights)
+    return EdgeGraph(
+        rows=rows, cols=cols, weights=w, valid=valid, num_rows=n, num_cols=n
+    )
+
+
+@functools.partial(jax.jit, static_argnames=())
+def embed_query(nbrs: jax.Array, weights: jax.Array, ref: jax.Array) -> jax.Array:
+    """Affinity-weighted average of reference rows.
+
+    Row-normalizes the (Q, k) affinity (row sums clamped >= 1e-6) and
+    averages the referenced rows -- the reference's out-of-sample init
+    (impl/model.py:236-252) without sparse ops.
+
+    Args:
+        nbrs: (Q, k) reference indices.
+        weights: (Q, k) affinities.
+        ref: (N, D) reference rows (embeddings in transform mode; raw
+            training data in invert mode -- the *intended* semantics,
+            see SURVEY.md §2.10a).
+
+    Returns:
+        (Q, D) weighted averages.
+    """
+    row_sums = jnp.maximum(jnp.sum(weights, axis=1), 1e-6)
+    norm_w = weights / row_sums[:, None]
+    return jnp.einsum("qk,qkd->qd", norm_w, ref[nbrs])
+
+
+def to_dense(graph: EdgeGraph) -> jax.Array:
+    """Materializes the affinity matrix (tests / small-N spectral only)."""
+    dense = jnp.zeros((graph.num_rows, graph.num_cols), dtype=jnp.float32)
+    w = jnp.where(graph.valid, graph.weights, 0.0)
+    return dense.at[graph.rows, graph.cols].add(w)

@@ -1,0 +1,120 @@
+"""Layout losses: UMAP attract/repel, inverse-mode attract/repel, InfoNCE.
+
+Per-edge formulations matching reference impl/model.py:312-394 exactly,
+including its conventions (SURVEY.md §2.5, §2.10d):
+  * "dist" inside the attract/repel curves is the **squared** Euclidean
+    distance clamped >= 1e-6, so a*d^b realizes a*||delta||^(2b);
+  * repulsion adds 1e-6 inside the log;
+  * inverse-mode attraction is ||delta|| / (q*sigma_j + 1e-6) with q the
+    output-space curve weight; inverse repulsion uses the input-space
+    fuzzy membership.
+
+Everything here returns *per-sample* values; the window-mean /
+mean-of-means weighting lives in models/layout.py where the reference's
+batching semantics (impl/model.py:423-453) are reproduced.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _sq_dist(x: jax.Array, y: jax.Array) -> jax.Array:
+    return jnp.maximum(jnp.sum((x - y) ** 2, axis=-1), 1e-6)
+
+
+def umap_attr(x: jax.Array, y: jax.Array, a, b) -> jax.Array:
+    """Per-edge attraction log(1 + a d^b), d = squared distance
+    (reference impl/model.py:312-322)."""
+    d = _sq_dist(x, y)
+    return jnp.log1p(a * jnp.power(d, b))
+
+
+def umap_rep(x: jax.Array, y: jax.Array, a, b) -> jax.Array:
+    """Per-sample repulsion -log(a d^b / (1 + a d^b) + 1e-6)
+    (reference impl/model.py:324-334)."""
+    ad_b = a * jnp.power(_sq_dist(x, y), b)
+    return -jnp.log(ad_b / (1.0 + ad_b) + 1e-6)
+
+
+def inv_attr(x: jax.Array, ref: jax.Array, a, b, sigma_j: jax.Array) -> jax.Array:
+    """Inverse-mode attraction ||delta|| / (q*sigma_j + 1e-6), q the
+    output-space curve weight (reference impl/model.py:336-348)."""
+    sq = _sq_dist(x, ref)
+    dist = jnp.sqrt(sq)
+    q = 1.0 / (1.0 + a * jnp.power(sq, b))
+    return dist / (q * sigma_j + 1e-6)
+
+
+def inv_rep(
+    x: jax.Array, ref: jax.Array, sigma_j: jax.Array, rho_j: jax.Array
+) -> jax.Array:
+    """Inverse-mode repulsion -log(1 - exp(-max(d-rho,1e-6)/(sigma+1e-6)) + 1e-6)
+    (reference impl/model.py:350-362)."""
+    dist = jnp.sqrt(_sq_dist(x, ref))
+    w = jnp.exp(-jnp.maximum(dist - rho_j, 1e-6) / (sigma_j + 1e-6))
+    return -jnp.log(1.0 - w + 1e-6)
+
+
+def _l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
+    # Gradient-safe at x == 0 (spectral-init rows can be exactly zero):
+    # clamping the *squared* norm keeps d(sqrt)/dx finite, matching
+    # torch F.normalize's eps-clamped denominator forward behavior.
+    sq = jnp.sum(x * x, axis=axis, keepdims=True)
+    return x / jnp.sqrt(jnp.maximum(sq, eps * eps))
+
+
+def infonce(
+    key: jax.Array,
+    embeds_0: jax.Array,
+    embeds_1: jax.Array,
+    n_neg: int = 8,
+    temperature: float = 0.5,
+    group_size: int = 1000,
+) -> jax.Array:
+    """Cross-modal InfoNCE alignment (reference impl/model.py:364-394).
+
+    Paired rows are positives; ``n_neg + 1`` uniform negatives are drawn
+    per anchor with anchor-index collisions masked to -inf. The
+    reference averages per 1000-element groups of a fresh random
+    permutation and then averages the group means -- reproduced here
+    with a padded fixed-shape permutation so the last (short) group
+    carries the same weight.
+
+    Returns the scalar loss (directional: anchors from ``embeds_0``).
+    """
+    num = min(embeds_0.shape[0], embeds_1.shape[0])
+    if num == 0:
+        return jnp.float32(0.0)
+    num_groups = -(-num // group_size)
+    padded = num_groups * group_size
+
+    key_perm, key_neg = jax.random.split(key)
+    perm = jax.random.permutation(key_perm, num)
+    perm = jnp.concatenate(
+        [perm, jnp.zeros(padded - num, dtype=perm.dtype)]
+    )
+    pad_mask = jnp.arange(padded) < num
+
+    anchors = _l2_normalize(embeds_0[perm[:num]])
+    positives = _l2_normalize(embeds_1[perm[:num]])
+    pos_sim = jnp.sum(anchors * positives, axis=1) / temperature
+
+    neg_idx = jax.random.randint(key_neg, (num, n_neg + 1), 0, num)
+    not_self = neg_idx != perm[:num, None]
+    negatives = _l2_normalize(embeds_1[neg_idx])
+    neg_sim = jnp.einsum("nd,nkd->nk", anchors, negatives) / temperature
+    neg_sim = jnp.where(not_self, neg_sim, -jnp.inf)
+
+    logits = jnp.concatenate([pos_sim[:, None], neg_sim], axis=1)
+    per_elem = -jax.nn.log_softmax(logits, axis=1)[:, 0]
+
+    per_elem = jnp.concatenate(
+        [per_elem, jnp.zeros(padded - num, dtype=per_elem.dtype)]
+    )
+    per_elem = per_elem.reshape(num_groups, group_size)
+    grp_mask = pad_mask.reshape(num_groups, group_size)
+    grp_counts = jnp.maximum(jnp.sum(grp_mask, axis=1), 1)
+    grp_means = jnp.sum(jnp.where(grp_mask, per_elem, 0.0), axis=1) / grp_counts
+    return jnp.mean(grp_means)

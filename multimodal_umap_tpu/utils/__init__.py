@@ -1,0 +1,5 @@
+"""Runtime utilities: checkpointing, logging."""
+
+from . import checkpoint, logging
+
+__all__ = ["checkpoint", "logging"]

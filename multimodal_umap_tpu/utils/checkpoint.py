@@ -1,0 +1,99 @@
+"""Checkpointing: full-model state as a single .npz archive.
+
+Logical schema matches the reference's ``save_state_dict`` /
+``load_state_dict`` (reference impl/model.py:653-713): hyperparameters,
+(a, b), per-encoder sigma/rho, and -- deliberately, as in the reference
+-- the training data, graphs, and embeddings, because transform/invert
+query them (SURVEY.md §2.10h). Under exact kNN every array is
+fixed-shape, so plain npz is sufficient and portable.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.graph import EdgeGraph
+
+_SCHEMA_VERSION = 1
+
+
+def save_state(path: str, state: dict) -> None:
+    """Serializes a mixture-model state dict to ``path`` (npz).
+
+    Expected keys: k_neighbors, out_dim, min_dist, num_encoders, a, b,
+    sigmas (list), rhos (list), data (list), graphs (list[EdgeGraph]),
+    embeds (list).
+    """
+    meta = {
+        "schema": _SCHEMA_VERSION,
+        "k_neighbors": int(state["k_neighbors"]),
+        "out_dim": int(state["out_dim"]),
+        "min_dist": float(state["min_dist"]),
+        "num_encoders": int(state["num_encoders"]),
+        "a": float(state["a"]),
+        "b": float(state["b"]),
+        "graph_shapes": [
+            [g.num_rows, g.num_cols] for g in state["graphs"]
+        ],
+    }
+    arrays: dict[str, np.ndarray] = {}
+    for i in range(meta["num_encoders"]):
+        arrays[f"sigmas_{i}"] = np.asarray(state["sigmas"][i])
+        arrays[f"rhos_{i}"] = np.asarray(state["rhos"][i])
+        arrays[f"data_{i}"] = np.asarray(state["data"][i])
+        arrays[f"embeds_{i}"] = np.asarray(state["embeds"][i])
+        g: EdgeGraph = state["graphs"][i]
+        arrays[f"graph_{i}_rows"] = np.asarray(g.rows)
+        arrays[f"graph_{i}_cols"] = np.asarray(g.cols)
+        arrays[f"graph_{i}_weights"] = np.asarray(g.weights)
+        arrays[f"graph_{i}_valid"] = np.asarray(g.valid)
+
+    dirname = os.path.dirname(path)
+    if dirname:
+        os.makedirs(dirname, exist_ok=True)
+    buf = io.BytesIO()
+    np.savez_compressed(buf, meta=json.dumps(meta), **arrays)
+    with open(path, "wb") as f:
+        f.write(buf.getvalue())
+
+
+def load_state(path: str) -> dict:
+    """Loads a state dict saved by :func:`save_state`."""
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(str(z["meta"]))
+        n = meta["num_encoders"]
+        state = {
+            "k_neighbors": meta["k_neighbors"],
+            "out_dim": meta["out_dim"],
+            "min_dist": meta["min_dist"],
+            "num_encoders": n,
+            "a": meta["a"],
+            "b": meta["b"],
+            "sigmas": [],
+            "rhos": [],
+            "data": [],
+            "embeds": [],
+            "graphs": [],
+        }
+        for i in range(n):
+            state["sigmas"].append(jnp.asarray(z[f"sigmas_{i}"]))
+            state["rhos"].append(jnp.asarray(z[f"rhos_{i}"]))
+            state["data"].append(jnp.asarray(z[f"data_{i}"]))
+            state["embeds"].append(jnp.asarray(z[f"embeds_{i}"]))
+            num_rows, num_cols = meta["graph_shapes"][i]
+            state["graphs"].append(
+                EdgeGraph(
+                    rows=jnp.asarray(z[f"graph_{i}_rows"]),
+                    cols=jnp.asarray(z[f"graph_{i}_cols"]),
+                    weights=jnp.asarray(z[f"graph_{i}_weights"]),
+                    valid=jnp.asarray(z[f"graph_{i}_valid"]),
+                    num_rows=int(num_rows),
+                    num_cols=int(num_cols),
+                )
+            )
+    return state

@@ -1,0 +1,38 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Must run before jax is imported anywhere, so sharding tests can build a
+real Mesh without TPU hardware (SURVEY.md §4).
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def blobs(rng):
+    """Two clustered synthetic modalities with paired rows (N=192)."""
+    n_per, n_clusters, d0, d1 = 48, 4, 24, 16
+    centers0 = rng.normal(size=(n_clusters, d0)) * 6.0
+    centers1 = rng.normal(size=(n_clusters, d1)) * 6.0
+    labels = np.repeat(np.arange(n_clusters), n_per)
+    x0 = centers0[labels] + rng.normal(size=(n_per * n_clusters, d0))
+    x1 = centers1[labels] + rng.normal(size=(n_per * n_clusters, d1))
+    return (
+        x0.astype(np.float32),
+        x1.astype(np.float32),
+        labels.astype(np.int32),
+    )

@@ -1,0 +1,108 @@
+"""End-to-end model tests: fit, transform, inverse_transform, and the
+checkpoint round-trip, on small clustered synthetic data."""
+
+import os
+
+import numpy as np
+import pytest
+
+from multimodal_umap_tpu.models.mixture import MultimodalUMAP
+
+
+@pytest.fixture(scope="module")
+def fitted(blobs):
+    x0, x1, labels = blobs
+    model = MultimodalUMAP(
+        k_neighbors=10, out_dim=4, min_dist=0.1, num_encoders=2
+    )
+    model.fit([x0, x1], epochs=150, num_rep=4, lr=0.05, alpha=0.5,
+              batch_size=64)
+    return model, x0, x1, labels
+
+
+def test_fit_shapes_and_loss(fitted):
+    model, x0, x1, _ = fitted
+    assert len(model.embeds) == 2
+    assert model.embeds[0].shape == (x0.shape[0], 4)
+    assert model.embeds[1].shape == (x1.shape[0], 4)
+    hist = model.loss_history["fit"]
+    assert np.all(np.isfinite(hist))
+    # Layout optimization should make clear progress.
+    assert hist[-10:].mean() < hist[:10].mean()
+
+
+def test_fit_separates_clusters(fitted):
+    """Points sharing a cluster should be latent-closer than strangers."""
+    model, _, _, labels = fitted
+    emb = np.asarray(model.embeds[0])
+    d = np.linalg.norm(emb[:, None] - emb[None, :], axis=2)
+    same = labels[:, None] == labels[None, :]
+    off_diag = ~np.eye(len(labels), dtype=bool)
+    intra = d[same & off_diag].mean()
+    inter = d[~same].mean()
+    assert intra < 0.5 * inter, (intra, inter)
+
+
+def test_transform_lands_near_cluster(fitted):
+    """Transforming training rows back should land near their own
+    fitted embeddings' clusters."""
+    model, x0, _, labels = fitted
+    queries = x0[:24]
+    out = model.transform([queries], epochs=40, data_indices=[0],
+                          num_rep=4, lr=0.05, batch_size=64)
+    q_emb = np.asarray(out[0])
+    assert q_emb.shape == (24, 4)
+    train_emb = np.asarray(model.embeds[0])
+    # Nearest fitted neighbor of each query should share its cluster.
+    d = np.linalg.norm(q_emb[:, None] - train_emb[None, :], axis=2)
+    nearest = d.argmin(axis=1)
+    agree = (labels[nearest] == labels[:24]).mean()
+    assert agree > 0.8, agree
+
+
+def test_inverse_transform_reconstructs(fitted):
+    """Invert (fixed semantics, SURVEY.md §2.10a): reconstructions of
+    fitted embeddings should be closer to their own source rows than a
+    shuffled baseline."""
+    model, x0, _, _ = fitted
+    z = np.asarray(model.embeds[0][:16])
+    recon = np.asarray(
+        model.inverse_transform([z], epochs=40, data_indices=[0],
+                                num_rep=4, lr=0.05, batch_size=64)[0]
+    )
+    assert recon.shape == (16, x0.shape[1])
+    assert np.all(np.isfinite(recon))
+    mse = np.mean((recon - x0[:16]) ** 2)
+    shuffled_mse = np.mean((recon - x0[16:32]) ** 2)
+    assert mse < shuffled_mse, (mse, shuffled_mse)
+
+
+def test_checkpoint_roundtrip(fitted, tmp_path):
+    model, x0, _, _ = fitted
+    path = os.path.join(tmp_path, "ckpt", "model.npz")
+    model.save_state_dict(path)
+    restored = MultimodalUMAP.load_state_dict(path)
+
+    assert restored.k_neighbors == model.k_neighbors
+    assert restored.out_dim == model.out_dim
+    assert abs(restored.a - model.a) < 1e-6
+    np.testing.assert_array_equal(
+        np.asarray(restored.embeds[0]), np.asarray(model.embeds[0])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(restored.data[1]), np.asarray(model.data[1])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(restored.graphs[0].rows), np.asarray(model.graphs[0].rows)
+    )
+    # The restored model must support transform without refitting.
+    out = restored.transform([x0[:4]], epochs=5, data_indices=[0],
+                             num_rep=2, lr=0.05, batch_size=64)
+    assert np.asarray(out[0]).shape == (4, model.out_dim)
+
+
+def test_unfitted_transform_raises():
+    model = MultimodalUMAP(k_neighbors=5, out_dim=2, min_dist=0.1,
+                           num_encoders=1)
+    with pytest.raises(RuntimeError):
+        model.transform([np.zeros((3, 8), np.float32)], epochs=1)
