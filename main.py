@@ -1,0 +1,144 @@
+"""Cross-modal UMAP mixture experiments -- CLI driver.
+
+Flag surface mirrors the reference CLI (reference main.py:10-33; the
+CLI defaults are the canonical experiment configuration, SURVEY.md
+§2.10f), with TPU-native additions:
+  --synthetic       run on generated clustered data (no network),
+  --n_samples       synthetic dataset size,
+  --mesh_devices    data-parallel mesh size (0 = all devices),
+  --seed            PRNG seed.
+
+``--log_dir`` is honored (per-phase JSONL loss logs), unlike the
+reference where it is parsed but dead (SURVEY.md §2.10g).
+"""
+
+import argparse
+
+import numpy as np
+
+from multimodal_umap_tpu import Config, MultimodalUMAP
+from multimodal_umap_tpu.app import crossmodal_recon
+from multimodal_umap_tpu.data import clustered_modalities, load_data
+from multimodal_umap_tpu.eval import knn_test, similarity_test
+from multimodal_umap_tpu.parallel import create_mesh
+from multimodal_umap_tpu.utils.logging import write_loss_log
+
+
+def init_parser() -> argparse.Namespace:
+    parser = argparse.ArgumentParser(
+        description="Cross-modal UMAP Mixture Model Experiments (TPU-native)"
+    )
+    parser.add_argument("--k_neighbors", type=int, default=15,
+                        help="Number of neighbors for UMAP")
+    parser.add_argument("--out_dim", type=int, default=64,
+                        help="Output embedding dimension")
+    parser.add_argument("--min_dist", type=float, default=0.1,
+                        help="Minimum distance for UMAP")
+
+    parser.add_argument("--train_epochs", type=int, default=600,
+                        help="Number of training epochs")
+    parser.add_argument("--num_rep", type=int, default=8,
+                        help="Number of repulsive points for UMAP")
+    parser.add_argument("--lr", type=float, default=0.01,
+                        help="Learning rate")
+    parser.add_argument("--alpha", type=float, default=1.0,
+                        help="Cross-modal alignment weight")
+    parser.add_argument("--batch_size", type=int, default=256,
+                        help="Batch size")
+    parser.add_argument("--log_dir", type=str, default=None,
+                        help="Directory to log training losses")
+
+    parser.add_argument("--test_epochs", type=int, default=120,
+                        help="Number of testing epochs")
+    parser.add_argument("--k_test", type=int, default=1,
+                        help="Number of neighbors for k-NN test")
+    parser.add_argument("--crossmodal", type=str, default="yes",
+                        choices=["yes", "no"],
+                        help="Whether to save cross-modal reconstructions")
+
+    parser.add_argument("--load_pretrained", type=str, default="no",
+                        choices=["yes", "no"],
+                        help="Whether to load a pretrained model")
+    parser.add_argument("--save_path", type=str,
+                        default="models/flickr30k.npz",
+                        help="Path to save the trained model")
+
+    parser.add_argument("--synthetic", action="store_true",
+                        help="Use synthetic clustered data (offline)")
+    parser.add_argument("--n_samples", type=int, default=2000,
+                        help="Synthetic dataset size")
+    parser.add_argument("--mesh_devices", type=int, default=0,
+                        help="Data-parallel mesh size (0 = all devices)")
+    parser.add_argument("--seed", type=int, default=0, help="PRNG seed")
+    return parser.parse_args()
+
+
+def main() -> None:
+    args = init_parser()
+    cfg = Config(
+        k_neighbors=args.k_neighbors,
+        out_dim=args.out_dim,
+        min_dist=args.min_dist,
+        train_epochs=args.train_epochs,
+        num_rep=args.num_rep,
+        lr=args.lr,
+        alpha=args.alpha,
+        batch_size=args.batch_size,
+        test_epochs=args.test_epochs,
+        log_dir=args.log_dir,
+        seed=args.seed,
+    )
+
+    if args.synthetic:
+        n_test = max(16, args.n_samples // 10)
+        train_split = clustered_modalities(
+            args.n_samples, dims=(768, 4096), seed=args.seed
+        )
+        test_split = clustered_modalities(
+            n_test, dims=(768, 4096), seed=args.seed + 1
+        )
+    else:
+        train_split = load_data(split="train")
+        test_split = load_data(split="test")
+
+    mesh = create_mesh(args.mesh_devices or None)
+    if mesh.devices.size == 1:
+        mesh = None  # single device: skip sharding machinery
+
+    if args.load_pretrained == "yes":
+        model = MultimodalUMAP.load_state_dict(args.save_path)
+    else:
+        model = MultimodalUMAP(
+            k_neighbors=cfg.k_neighbors,
+            out_dim=cfg.out_dim,
+            min_dist=cfg.min_dist,
+            num_encoders=len(train_split),
+            seed=cfg.seed,
+            mesh=mesh,
+        )
+        model.fit(
+            [train_split[key] for key in train_split],
+            epochs=cfg.train_epochs,
+            num_rep=cfg.num_rep,
+            lr=cfg.lr,
+            alpha=cfg.alpha,
+            batch_size=cfg.batch_size,
+        )
+        write_loss_log(cfg.log_dir, "fit", model.loss_history["fit"])
+
+    if args.save_path is not None:
+        model.save_state_dict(args.save_path)
+
+    similarity_test(test_split, cfg, model=model)
+    knn_test(test_split, cfg, k=args.k_test, model=model)
+
+    if args.crossmodal == "yes":
+        rng = np.random.default_rng(args.seed)
+        keys = list(test_split)
+        indices = rng.permutation(test_split[keys[0]].shape[0])[:16]
+        samples = [np.asarray(test_split[k])[indices] for k in keys]
+        crossmodal_recon(samples, cfg, model=model)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,41 @@
+"""Synthetic multimodal datasets for tests and benchmarks.
+
+Generates paired clustered modalities: rows with the same index share a
+cluster, so cross-modal alignment is learnable -- mirroring the
+structure (paired text/image rows) of the flickr30k workload without
+any network access.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def clustered_modalities(
+    n_samples: int,
+    dims: tuple[int, ...] = (768, 4096),
+    n_clusters: int = 32,
+    cluster_scale: float = 6.0,
+    noise_scale: float = 1.0,
+    seed: int = 0,
+) -> dict[str, np.ndarray]:
+    """Paired clustered features, one array per modality.
+
+    Returns a dict keyed ``mod0``, ``mod1``, ... matching the reference
+    data-dict shape (``{"texts": ..., "images": ...}`` for 2 modalities,
+    reference impl/dataset.py:60-63).
+    """
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, n_clusters, size=n_samples)
+    names = (
+        ["texts", "images"]
+        if len(dims) == 2
+        else [f"mod{i}" for i in range(len(dims))]
+    )
+    out = {}
+    for name, d in zip(names, dims):
+        centers = rng.normal(size=(n_clusters, d)) * cluster_scale
+        out[name] = (
+            centers[labels] + rng.normal(size=(n_samples, d)) * noise_scale
+        ).astype(np.float32)
+    return out

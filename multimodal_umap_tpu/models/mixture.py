@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.graph import EdgeGraph
+from ..parallel.mesh import ShardingPlan, shard_task
 from ..utils import checkpoint as ckpt
 from .curve import get_ab_coeffs as _get_ab_coeffs
 from .encoder import ModalityEncoder
@@ -55,12 +56,16 @@ class MultimodalUMAP:
         min_dist: float,
         num_encoders: int,
         seed: int = 0,
+        mesh=None,
     ):
         self.k_neighbors = k_neighbors
         self.out_dim = out_dim
         self.min_dist = min_dist
         self.num_encoders = num_encoders
         self.seed = seed
+        # Optional jax.sharding.Mesh: shards every O(N)/O(E) stage over
+        # the data axis (see parallel/mesh.py). None => single device.
+        self.mesh = mesh
 
         self.a, self.b = self.get_ab_coeffs(min_dist)
 
@@ -101,6 +106,11 @@ class MultimodalUMAP:
             raise ValueError(
                 f"expected {self.num_encoders} modalities, got {len(self.data)}"
             )
+        plan = self._plan()
+        if plan is not None:
+            # Rows shard across the mesh; the kNN panel scan then runs
+            # data-parallel with replicated column blocks.
+            self.data = [plan.rows(x) for x in self.data]
 
         graphs, inits = [], []
         for enc, feats in zip(self.encoders, self.data):
@@ -112,6 +122,10 @@ class MultimodalUMAP:
         tasks, statics = zip(
             *(task_from_graph(g, batch_size) for g in graphs)
         )
+        if plan is not None:
+            tasks, inits = zip(
+                *(shard_task(plan, t, e) for t, e in zip(tasks, inits))
+            )
         embeds, hist = train_layout(
             inits,
             tasks,
@@ -308,6 +322,7 @@ class MultimodalUMAP:
         model.min_dist = state["min_dist"]
         model.num_encoders = state["num_encoders"]
         model.seed = 0
+        model.mesh = None
         model.a = state["a"]
         model.b = state["b"]
         model.encoders = [
@@ -324,6 +339,9 @@ class MultimodalUMAP:
         return model
 
     load = load_state_dict
+
+    def _plan(self) -> ShardingPlan | None:
+        return ShardingPlan(self.mesh) if self.mesh is not None else None
 
     def _require_fitted(self) -> None:
         if self.data is None or not self.embeds:

@@ -3,10 +3,17 @@
 The reference builds an *approximate*, randomized kNN graph with
 NN-descent over sparse COO tensors (reference impl/model.py:63-209).
 On TPU the idiomatic design is an **exact** blocked search: distance
-panels ``|q|^2 + |r|^2 - 2 q r^T`` are computed on the MXU one column
-block at a time while a running per-row top-k is folded with
-``lax.scan`` -- no sparse bookkeeping, fixed output shapes (Q, k), and
+panels ``|q|^2 + |r|^2 - 2 q r^T`` are computed on the MXU for a block
+of query rows against ALL reference columns, followed by one full-width
+``lax.top_k`` -- no sparse bookkeeping, fixed (Q, k) output shapes, and
 a strict quality upgrade over NN-descent (SURVEY.md §2.10i).
+
+Blocking is over *rows* at the host level: every block reuses one
+compiled kernel (same shapes), and panel memory is bounded at
+``row_block * N`` floats. Full-width top_k on TPU is fast (measured:
+(4096, 31744) panel -> 6 ms); a scan-carried running top-k merge was
+measured 20x slower to compile and no faster to run, so it was
+deliberately rejected.
 
 Distances are Euclidean (not squared), matching the reference's
 ``LA.vector_norm`` convention (impl/model.py:109) which feeds the
@@ -23,25 +30,44 @@ import jax.numpy as jnp
 _INF = jnp.float32(jnp.inf)
 
 
-def _pad_rows(x: jax.Array, multiple: int) -> tuple[jax.Array, int]:
-    """Zero-pads the leading axis of ``x`` to a multiple of ``multiple``."""
-    n = x.shape[0]
-    padded = (n + multiple - 1) // multiple * multiple
-    if padded != n:
-        x = jnp.pad(x, ((0, padded - n),) + ((0, 0),) * (x.ndim - 1))
-    return x, padded
-
-
 @functools.partial(
-    jax.jit, static_argnames=("k", "exclude_self", "block_cols", "precision")
+    jax.jit, static_argnames=("k", "exclude_self", "precision")
 )
+def _knn_block(
+    q_block: jax.Array,
+    references: jax.Array,
+    r_sq: jax.Array,
+    row_offset: jax.Array,
+    num_valid_rows: jax.Array,
+    k: int,
+    exclude_self: bool,
+    precision: str,
+) -> tuple[jax.Array, jax.Array]:
+    """One row block against all references: panel + full-width top_k."""
+    q_sq = jnp.sum(q_block * q_block, axis=1, keepdims=True)
+    panel = q_sq + r_sq[None, :] - 2.0 * jnp.dot(
+        q_block, references.T,
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    panel = jnp.maximum(panel, 0.0)
+    if exclude_self:
+        local_rows = jnp.arange(q_block.shape[0], dtype=jnp.int32)
+        global_rows = (row_offset + local_rows)[:, None]
+        cols = jnp.arange(references.shape[0], dtype=jnp.int32)[None, :]
+        panel = jnp.where(cols == global_rows, _INF, panel)
+    neg_d, ids = jax.lax.top_k(-panel, k)
+    del num_valid_rows  # rows beyond Q are padding; caller slices them off
+    return jnp.sqrt(jnp.maximum(-neg_d, 0.0)), ids.astype(jnp.int32)
+
+
 def knn(
     queries: jax.Array,
     references: jax.Array,
     k: int,
     *,
     exclude_self: bool = False,
-    block_cols: int = 1024,
+    row_block: int = 8192,
     precision: str = "highest",
 ) -> tuple[jax.Array, jax.Array]:
     """Exact kNN of ``queries`` against ``references``.
@@ -53,7 +79,9 @@ def knn(
         exclude_self: mask the diagonal (query i vs reference i); used in
             fit mode where queries *are* the references
             (reference impl/model.py:87-90 removes self edges).
-        block_cols: column-block width for the panel scan.
+        row_block: query rows per panel; bounds peak memory at
+            ``row_block * N`` floats while every block reuses one
+            compiled kernel.
         precision: matmul precision; "highest" keeps f32 accuracy so
             neighbor selection matches a direct computation.
 
@@ -67,47 +95,34 @@ def knn(
     if k > num_r - (1 if exclude_self else 0):
         raise ValueError(f"k={k} exceeds available references ({num_r})")
 
-    r_padded, padded_n = _pad_rows(r, block_cols)
-    num_blocks = padded_n // block_cols
-    r_blocks = r_padded.reshape(num_blocks, block_cols, -1)
+    r_sq = jnp.sum(r * r, axis=1)
 
-    q_sq = jnp.sum(q * q, axis=1, keepdims=True)  # (Q, 1)
-    r_sq_blocks = jnp.sum(r_blocks * r_blocks, axis=2)  # (B, block)
-    row_ids = jnp.arange(num_q, dtype=jnp.int32)[:, None]  # (Q, 1)
-
-    init_d = jnp.full((num_q, k), _INF, dtype=jnp.float32)
-    init_i = jnp.full((num_q, k), -1, dtype=jnp.int32)
-
-    def fold_block(carry, blk):
-        best_d, best_i = carry
-        r_blk, r_sq, blk_idx = blk
-        # Squared-distance panel on the MXU.
-        panel = q_sq + r_sq[None, :] - 2.0 * jnp.dot(
-            q, r_blk.T, preferred_element_type=jnp.float32,
-            precision=precision,
+    if num_q <= row_block:
+        d, i = _knn_block(
+            q, r, r_sq, jnp.int32(0), jnp.int32(num_q), k, exclude_self,
+            precision,
         )
-        panel = jnp.maximum(panel, 0.0)
-        col_ids = blk_idx * block_cols + jnp.arange(
-            block_cols, dtype=jnp.int32
-        )[None, :]
-        # Mask column padding (and the diagonal in fit mode).
-        invalid = col_ids >= num_r
-        if exclude_self:
-            invalid = invalid | (col_ids == row_ids)
-        panel = jnp.where(invalid, _INF, panel)
+        return d, i
 
-        cand_d = jnp.concatenate([best_d, panel], axis=1)
-        cand_i = jnp.concatenate(
-            [best_i, jnp.broadcast_to(col_ids, panel.shape)], axis=1
+    # Pad Q to a block multiple; every block hits the same compiled fn.
+    num_blocks = -(-num_q // row_block)
+    padded_q = num_blocks * row_block
+    if padded_q != num_q:
+        q = jnp.pad(q, ((0, padded_q - num_q), (0, 0)))
+    d_parts, i_parts = [], []
+    for b in range(num_blocks):
+        d, i = _knn_block(
+            jax.lax.dynamic_slice_in_dim(q, b * row_block, row_block),
+            r,
+            r_sq,
+            jnp.int32(b * row_block),
+            jnp.int32(num_q),
+            k,
+            exclude_self,
+            precision,
         )
-        top_neg, top_pos = jax.lax.top_k(-cand_d, k)
-        best_d = -top_neg
-        best_i = jnp.take_along_axis(cand_i, top_pos, axis=1)
-        return (best_d, best_i), None
-
-    (best_d, best_i), _ = jax.lax.scan(
-        fold_block,
-        (init_d, init_i),
-        (r_blocks, r_sq_blocks, jnp.arange(num_blocks, dtype=jnp.int32)),
-    )
-    return jnp.sqrt(best_d), best_i
+        d_parts.append(d)
+        i_parts.append(i)
+    dists = jnp.concatenate(d_parts)[:num_q]
+    ids = jnp.concatenate(i_parts)[:num_q]
+    return dists, ids

@@ -97,9 +97,11 @@ def spectral_embedding(
     """
     n = graph.num_rows
     if method == "auto":
-        # lobpcg_standard requires n >= 4*(k+1); dense is exact and fast
-        # at small N anyway.
-        method = "dense" if (n <= 4096 or n < 4 * (out_dim + 1) + 4) else "lobpcg"
+        # LOBPCG always: dense eigh is pathologically slow on TPU (QR
+        # iteration; minutes at N=2000) while the LOBPCG matvec is pure
+        # segment_sum + small matmuls. Dense only below lobpcg_standard's
+        # n >= ~4*(k+1) guardrail, where eigh is trivial anyway.
+        method = "dense" if n < 4 * (out_dim + 1) + 4 else "lobpcg"
     if method == "dense":
         return _spectral_dense(graph, out_dim)
     if method == "lobpcg":

@@ -1,0 +1,75 @@
+"""Device mesh + sharding plan: data parallelism over the point axis.
+
+The reference is single-process, single-device (reference
+impl/model.py:10 is its entire device policy; SURVEY.md §2.9). The
+honest TPU mapping is data parallelism over N: features, kNN results,
+edge lists, and embedding tables shard on their row/edge axis across a
+1-D ``Mesh(("data",))``; XLA GSPMD inserts the collectives (all-gather
+of the small embedding tables for cross-shard gathers, scatter-add
+reductions for segment sums, psum for the loss/grad reduction). No
+bespoke communication code -- shardings are declared, not programmed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def create_mesh(n_devices: int | None = None) -> Mesh:
+    """A 1-D data-parallel mesh over the first ``n_devices`` devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested {n_devices} devices, have {len(devices)}"
+            )
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardingPlan:
+    """Placement helpers for the data-parallel axis."""
+
+    mesh: Mesh
+
+    def rows(self, x: jax.Array) -> jax.Array:
+        """Shards the leading axis across the mesh (pads implicitly via
+        GSPMD when the axis is not divisible)."""
+        spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+    def replicated(self, x: jax.Array) -> jax.Array:
+        return jax.device_put(x, NamedSharding(self.mesh, P()))
+
+    def row_spec(self, ndim: int) -> NamedSharding:
+        return NamedSharding(self.mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+    def replicated_spec(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())
+
+
+def shard_task(plan: ShardingPlan, task, init_embed: jax.Array):
+    """Places a LayoutTask + its initial embeddings on the mesh.
+
+    Edge arrays shard on the edge axis, the embedding parameters on
+    rows; frozen references and fit-time bandwidths replicate so that
+    per-edge gathers stay local after one all-gather of the (small)
+    table.
+    """
+    replaced = task._replace(
+        rows=plan.rows(task.rows),
+        cols=plan.rows(task.cols),
+        weights=plan.rows(task.weights),
+        valid=plan.rows(task.valid),
+        ref=plan.replicated(task.ref) if task.ref is not None else None,
+        sigmas=plan.replicated(task.sigmas) if task.sigmas is not None else None,
+        rhos=plan.replicated(task.rhos) if task.rhos is not None else None,
+    )
+    return replaced, plan.rows(init_embed)

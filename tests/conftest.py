@@ -1,7 +1,9 @@
 """Test configuration: force an 8-device virtual CPU mesh.
 
-Must run before jax is imported anywhere, so sharding tests can build a
-real Mesh without TPU hardware (SURVEY.md §4).
+jax is already imported by the jaxtyping pytest plugin before this
+conftest runs, so environment variables are too late; ``jax.config``
+updates still apply because the backend is not initialized yet
+(SURVEY.md §4: multi-device tests need no cluster).
 """
 
 import os
@@ -12,6 +14,11 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

@@ -1,0 +1,83 @@
+"""Eval metrics + crossmodal app + data pipeline tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from multimodal_umap_tpu import Config
+from multimodal_umap_tpu.app import crossmodal_recon
+from multimodal_umap_tpu.data import clustered_modalities
+from multimodal_umap_tpu.data.flickr30k import load_data
+from multimodal_umap_tpu.eval import knn_test, similarity_test
+from multimodal_umap_tpu.eval.validation import _bidirectional_recall
+from multimodal_umap_tpu.models.mixture import MultimodalUMAP
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return Config(k_neighbors=8, out_dim=4, min_dist=0.1, train_epochs=100,
+                  num_rep=4, lr=0.05, alpha=0.5, batch_size=64,
+                  test_epochs=30)
+
+
+@pytest.fixture(scope="module")
+def fitted_model(cfg):
+    data = clustered_modalities(160, dims=(20, 4096), n_clusters=4, seed=3)
+    model = MultimodalUMAP(cfg.k_neighbors, cfg.out_dim, cfg.min_dist, 2)
+    model.fit([data["texts"], data["images"]], epochs=cfg.train_epochs,
+              num_rep=cfg.num_rep, lr=cfg.lr, alpha=cfg.alpha,
+              batch_size=cfg.batch_size)
+    return model, data
+
+
+def test_bidirectional_recall_oracle():
+    """Perfectly aligned embeddings give recall 1.0; disjoint ones ~0."""
+    e = np.random.default_rng(0).normal(size=(50, 4)).astype(np.float32)
+    assert float(_bidirectional_recall(e, e, 1)) == 1.0
+    far = e + 1000.0 * np.sign(e)
+    assert float(_bidirectional_recall(e, far, 1)) < 0.5
+
+
+def test_similarity_and_knn_tests(fitted_model, cfg):
+    model, data = fitted_model
+    test = {k: v[:48] for k, v in data.items()}
+    sim = similarity_test(test, cfg, model=model, return_values=True)
+    assert -1.0 <= sim <= 1.0
+    assert sim > 0.5  # clustered paired data must align
+    acc = knn_test(test, cfg, k=5, model=model, return_values=True)
+    assert 0.0 <= acc <= 1.0
+
+
+def test_crossmodal_recon_offline(fitted_model, cfg, tmp_path):
+    model, data = fitted_model
+    samples = [data["texts"][:4], data["images"][:4]]
+    out_dir = os.path.join(tmp_path, "results")
+    recons = crossmodal_recon(samples, cfg, model=model, out_dir=out_dir)
+    assert np.asarray(recons[0]).shape == (4, 4096)
+    # Offline path: latents + PNG comparisons on disk.
+    assert os.path.exists(os.path.join(out_dir, "recon_latents.npz"))
+    pngs = [f for f in os.listdir(out_dir) if f.endswith(".png")]
+    assert len(pngs) == 4
+
+
+def test_synthetic_pairing():
+    data = clustered_modalities(64, dims=(8, 12), n_clusters=4, seed=0)
+    assert set(data) == {"texts", "images"}
+    assert data["texts"].shape == (64, 8)
+    assert data["images"].shape == (64, 12)
+    assert data["texts"].dtype == np.float32
+
+
+def test_load_data_cache_roundtrip(tmp_path):
+    cache = os.path.join(tmp_path, "cache")
+    os.makedirs(cache)
+    fake = clustered_modalities(16, dims=(8, 8), seed=1)
+    np.savez(os.path.join(cache, "test_data.npz"), **fake)
+    loaded = load_data("test", cache_dir=cache)
+    np.testing.assert_array_equal(loaded["texts"], fake["texts"])
+
+
+def test_load_data_offline_error(tmp_path):
+    with pytest.raises(RuntimeError, match="synthetic"):
+        load_data("train", cache_dir=os.path.join(tmp_path, "nope"))

@@ -35,9 +35,9 @@ def test_knn_query_mode(rng):
 def test_knn_blocking_invariance(rng):
     x = rng.normal(size=(130, 6)).astype(np.float32)
     d1, i1 = knn(jnp.asarray(x), jnp.asarray(x), 5, exclude_self=True,
-                 block_cols=32)
+                 row_block=32)
     d2, i2 = knn(jnp.asarray(x), jnp.asarray(x), 5, exclude_self=True,
-                 block_cols=1024)
+                 row_block=1024)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
 

@@ -1,0 +1,143 @@
+"""Data-parallel sharding tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_umap_tpu.models.mixture import MultimodalUMAP
+from multimodal_umap_tpu.ops.knn import knn
+from multimodal_umap_tpu.parallel import ShardingPlan, create_mesh
+
+
+def test_mesh_has_8_devices():
+    mesh = create_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_knn_matches_single_device(rng):
+    x = rng.normal(size=(256, 16)).astype(np.float32)
+    d0, i0 = knn(jnp.asarray(x), jnp.asarray(x), 9, exclude_self=True)
+
+    mesh = create_mesh()
+    plan = ShardingPlan(mesh)
+    xq = plan.rows(jnp.asarray(x))
+    xr = plan.replicated(jnp.asarray(x))
+    d1, i1 = knn(xq, xr, 9, exclude_self=True)
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def test_sharded_graph_matches_single_device(blobs):
+    """Graph construction (kNN + fuzzy weights + symmetrization) is
+    deterministic: sharded placement must give identical edges."""
+    from multimodal_umap_tpu.ops.graph import fuzzy_weights, symmetrize
+
+    x0, _, _ = blobs
+    x = jnp.asarray(x0)
+    d0, i0 = knn(x, x, 8, exclude_self=True)
+    w0, r0, s0 = fuzzy_weights(d0)
+    g0 = symmetrize(i0, w0)
+
+    plan = ShardingPlan(create_mesh())
+    xs = plan.rows(x)
+    d1, i1 = knn(xs, plan.replicated(x), 8, exclude_self=True)
+    w1, r1, s1 = fuzzy_weights(d1)
+    g1 = symmetrize(i1, w1)
+
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(w0), np.asarray(w1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g0.weights), np.asarray(g1.weights), rtol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(g0.valid), np.asarray(g1.valid))
+
+
+def test_sharded_layout_matches_single_device(blobs):
+    """From a FIXED init, 30 layout epochs must agree sharded vs single
+    (identical program + PRNG draws; only placement differs). Spectral
+    init is bypassed: LOBPCG's converged basis has sign/rotation freedom
+    that placement can flip, which is irrelevant to layout quality."""
+    from multimodal_umap_tpu.models.layout import task_from_graph, train_layout
+    from multimodal_umap_tpu.ops.graph import fuzzy_weights, symmetrize
+    from multimodal_umap_tpu.parallel import shard_task
+
+    x0, x1, _ = blobs
+    key = jax.random.PRNGKey(5)
+    inits, tasks, statics = [], [], []
+    for arr in (x0, x1):
+        x = jnp.asarray(arr)
+        d, i = knn(x, x, 8, exclude_self=True)
+        w, _, _ = fuzzy_weights(d)
+        g = symmetrize(i, w)
+        key, sub = jax.random.split(key)
+        inits.append(jax.random.normal(sub, (x.shape[0], 4)) * 0.1)
+        t, s = task_from_graph(g, 64)
+        tasks.append(t)
+        statics.append(s)
+
+    kwargs = dict(mode="fit", epochs=30, num_rep=2, lr=0.05, alpha=0.5,
+                  batch_size=64, a=1.577, b=0.8951,
+                  key=jax.random.PRNGKey(0))
+    single, hist_single = train_layout(inits, tasks, statics, **kwargs)
+
+    plan = ShardingPlan(create_mesh())
+    sharded_pairs = [shard_task(plan, t, e) for t, e in zip(tasks, inits)]
+    sh_tasks = [p[0] for p in sharded_pairs]
+    sh_inits = [p[1] for p in sharded_pairs]
+    sharded, hist_sharded = train_layout(sh_inits, sh_tasks, statics,
+                                         **kwargs)
+
+    for e_s, e_m in zip(single, sharded):
+        np.testing.assert_allclose(
+            np.asarray(e_s), np.asarray(e_m), rtol=2e-3, atol=2e-4
+        )
+    np.testing.assert_allclose(
+        np.asarray(hist_single), np.asarray(hist_sharded), rtol=2e-3
+    )
+
+
+def test_sharded_spectral_low_energy(blobs):
+    """Sharded LOBPCG returns low-Laplacian-energy directions.
+
+    With clustered data the bottom eigenspace is near-degenerate, so
+    vector-wise comparison to dense eigh is ill-posed; the meaningful
+    property is that every returned direction has Rayleigh quotient at
+    most the dense (out_dim+1)-th eigenvalue (up to tolerance)."""
+    from multimodal_umap_tpu.ops.graph import fuzzy_weights, symmetrize, to_dense
+    from multimodal_umap_tpu.ops.spectral import spectral_embedding
+
+    x0, _, _ = blobs
+    x = jnp.asarray(x0)
+    d, i = knn(x, x, 8, exclude_self=True)
+    w, _, _ = fuzzy_weights(d)
+    g = symmetrize(i, w)
+
+    adj = np.asarray(to_dense(g))
+    deg = np.maximum(adj.sum(1), 1e-6) ** -0.5
+    n = adj.shape[0]
+    lap = np.eye(n) * (1 + 1e-6) - deg[:, None] * adj * deg[None, :]
+    evals = np.linalg.eigvalsh(lap)
+
+    plan = ShardingPlan(create_mesh())
+    g_sh = g.replace(
+        rows=plan.rows(g.rows), cols=plan.rows(g.cols),
+        weights=plan.rows(g.weights), valid=plan.rows(g.valid),
+    )
+    lob = np.asarray(spectral_embedding(g_sh, 4, method="lobpcg",
+                                        max_iters=300))
+    q, _ = np.linalg.qr(lob)
+    rayleigh = np.sort(np.diag(q.T @ lap @ q))
+    # Each returned direction is low-energy: within the bottom band.
+    assert np.all(rayleigh <= evals[4] + 0.1), (rayleigh, evals[:6])
+
+
+def test_sharded_embeds_are_row_sharded(blobs):
+    x0, x1, _ = blobs
+    mesh = create_mesh()
+    model = MultimodalUMAP(8, 4, 0.1, num_encoders=2, mesh=mesh)
+    model.fit([x0, x1], epochs=5, num_rep=2, lr=0.05, batch_size=64)
+    sharding = model.embeds[0].sharding
+    assert not sharding.is_fully_replicated
+    assert len(model.embeds[0].addressable_shards) == 8
