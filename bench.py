@@ -27,11 +27,13 @@ BASELINE_SECONDS = 2 * 39.0 + 0.5 + 600 * 0.282
 
 def run(n: int, epochs: int, k: int, out_dim: int, dims=(128, 128)) -> dict:
     import jax
+    from multimodal_umap_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
 
-    from multimodal_umap_tpu.data import clustered_modalities
+    from multimodal_umap_tpu.data.synthetic import clustered_modalities_device
     from multimodal_umap_tpu.models.mixture import MultimodalUMAP
 
-    data = clustered_modalities(n, dims=dims, n_clusters=32, seed=0)
+    data = clustered_modalities_device(n, dims=dims, n_clusters=32, seed=0)
     arrays = [data[key] for key in data]
 
     model = MultimodalUMAP(

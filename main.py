@@ -74,6 +74,9 @@ def init_parser() -> argparse.Namespace:
 
 
 def main() -> None:
+    from multimodal_umap_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = init_parser()
     cfg = Config(
         k_neighbors=args.k_neighbors,

@@ -25,6 +25,7 @@ Bernoulli keep is a mask, never a gather, so every shape is static.
 
 from __future__ import annotations
 
+import functools
 import typing
 
 import jax
@@ -119,9 +120,12 @@ def _modality_loss(
     else:
         attr_e = L.umap_attr(x_i, y_j, a, b)
 
-    # num_rep negatives per edge, folded to keep memory at O(E * D).
+    # num_rep negatives per edge, folded to keep live memory at
+    # O(E * D); remat keeps autodiff from saving each iteration's
+    # gathered rows (8 x 244 MB at flickr scale).
     neg_keys = jax.random.split(key_neg, num_rep)
 
+    @jax.checkpoint
     def fold_neg(acc, nk):
         neg_idx = jax.random.randint(nk, (num_edges,), 0, static.rep_count)
         y_neg = target[neg_idx]
@@ -213,8 +217,17 @@ def train_layout(
     a: float,
     b: float,
     key: jax.Array,
+    epoch_chunk: int = 100,
+    chunk_callback=None,
 ) -> tuple[list[jax.Array], jax.Array]:
     """Runs the full-batch Adam layout optimization.
+
+    Epochs are scanned in fixed ``epoch_chunk`` chunks inside one jit:
+    any epoch count reuses at most two compiled programs (chunk +
+    remainder) instead of one per scan length, and chunk boundaries are
+    host sync points -- ``chunk_callback(epoch_idx, params, losses)``
+    fires there for periodic checkpointing / loss streaming (the
+    preemption-recovery hook, SURVEY.md §5.3).
 
     Returns (final embeddings per modality, per-epoch loss history).
     """
@@ -228,14 +241,17 @@ def train_layout(
     # optax.adam's bias-corrected update (reference impl/model.py:403).
     optimizer = optax.adam(lr)
 
-    params = tuple(e.astype(jnp.float32) for e in init_embeds)
+    # Explicit copies: the chunk loop donates param buffers, and the
+    # caller's init arrays must survive (donation would delete them).
+    params = tuple(
+        jnp.array(e, dtype=jnp.float32, copy=True) for e in init_embeds
+    )
     opt_state = optimizer.init(params)
     tasks = tuple(tasks)
     ab = (jnp.float32(a), jnp.float32(b))
-    epoch_keys = jax.random.split(key, epochs)
 
-    @jax.jit
-    def run(params, opt_state, tasks, ab, epoch_keys):
+    @functools.partial(jax.jit, donate_argnames=("params", "opt_state"))
+    def run_chunk(params, opt_state, tasks, ab, chunk_keys):
         def epoch_step(carry, ekey):
             params, opt_state = carry
             loss, grads = jax.value_and_grad(loss_fn)(params, tasks, ab, ekey)
@@ -244,9 +260,23 @@ def train_layout(
             return (params, opt_state), loss
 
         (params, opt_state), hist = jax.lax.scan(
-            epoch_step, (params, opt_state), epoch_keys
+            epoch_step, (params, opt_state), chunk_keys
         )
-        return params, hist
+        return params, opt_state, hist
 
-    params, hist = run(params, opt_state, tasks, ab, epoch_keys)
-    return list(params), hist
+    epoch_keys = jax.random.split(key, epochs)
+    history = []
+    done = 0
+    while done < epochs:
+        take = min(epoch_chunk, epochs - done)
+        params, opt_state, hist = run_chunk(
+            params, opt_state, tasks, ab, epoch_keys[done : done + take]
+        )
+        done += take
+        history.append(hist)
+        if chunk_callback is not None:
+            chunk_callback(done, params, hist)
+    full_hist = (
+        jnp.concatenate(history) if len(history) > 1 else history[0]
+    )
+    return list(params), full_hist

@@ -28,6 +28,10 @@ from .layout import task_from_graph, train_layout
 
 
 def _as_f32(x) -> jax.Array:
+    # jax arrays stay on device (this host has a single slow vCPU --
+    # never round-trip through numpy).
+    if isinstance(x, jax.Array):
+        return x.astype(jnp.float32)
     return jnp.asarray(np.asarray(x), dtype=jnp.float32)
 
 

@@ -11,7 +11,7 @@ sys.path.insert(0, ".")
 import jax
 import jax.numpy as jnp
 
-from multimodal_umap_tpu.data import clustered_modalities
+from multimodal_umap_tpu.data.synthetic import clustered_modalities_device
 from multimodal_umap_tpu.models.layout import task_from_graph, train_layout
 from multimodal_umap_tpu.ops.graph import fuzzy_weights, symmetrize
 from multimodal_umap_tpu.ops.knn import knn
@@ -27,12 +27,14 @@ def timed(name, fn):
 
 
 def main():
+    from multimodal_umap_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 31744
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 600
     print("devices:", jax.devices(), flush=True)
 
     t_start = time.perf_counter()
-    data = timed("synthesize features", lambda: clustered_modalities(
+    data = timed("synthesize features", lambda: clustered_modalities_device(
         n, dims=(768, 4096), n_clusters=256, seed=0))
     xs = [jnp.asarray(v) for v in data.values()]
 

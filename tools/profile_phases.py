@@ -27,6 +27,8 @@ def timed(name, fn):
 
 
 def main():
+    from multimodal_umap_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 600
     print("devices:", jax.devices(), flush=True)
