@@ -3,7 +3,7 @@ and the layout optimizer."""
 
 from .curve import get_ab_coeffs
 from .encoder import ModalityEncoder
-from .layout import LayoutTask, TaskStatic, task_from_graph, train_layout
+from .layout import LayoutTask, TaskStatic, fit_task, query_task, train_layout
 from .mixture import MultimodalUMAP, UMAPMixture
 
 __all__ = [
@@ -11,7 +11,8 @@ __all__ = [
     "ModalityEncoder",
     "LayoutTask",
     "TaskStatic",
-    "task_from_graph",
+    "fit_task",
+    "query_task",
     "train_layout",
     "MultimodalUMAP",
     "UMAPMixture",

@@ -30,12 +30,13 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.graph import (
+    DenseSymGraph,
     EdgeGraph,
     curve_weights,
-    directed_graph,
     embed_query,
     fuzzy_weights,
     symmetrize,
+    symmetrize_dense,
 )
 from ..ops.knn import knn
 from ..ops.spectral import spectral_embedding
@@ -60,8 +61,12 @@ class ModalityEncoder:
     sigmas: jax.Array | None = None
     rhos: jax.Array | None = None
 
-    def fit_graph(self, features: jax.Array) -> tuple[EdgeGraph, jax.Array]:
-        """Builds the symmetric fuzzy graph and its spectral embedding."""
+    def fit_graph(
+        self, features: jax.Array
+    ) -> tuple[EdgeGraph, DenseSymGraph, jax.Array]:
+        """Builds the symmetric fuzzy graph (edge-list view for spectral
+        and checkpointing, dense view for the layout engine) and its
+        spectral embedding."""
         dists, nbrs = knn(
             features, features, self.k_neighbors, exclude_self=True
         )
@@ -69,21 +74,21 @@ class ModalityEncoder:
         self.sigmas = sigmas
         self.rhos = rhos
         graph = symmetrize(nbrs, weights)
+        dense = symmetrize_dense(nbrs, weights)
         embed = spectral_embedding(graph, self.out_dim)
-        return graph, embed
+        return graph, dense, embed
 
     def transform_graph(
         self,
         query: jax.Array,
         train_features: jax.Array,
         train_embeds: jax.Array,
-    ) -> tuple[EdgeGraph, jax.Array]:
-        """Query-to-train graph + weighted-average initialization."""
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """Query-to-train (nbrs, weights) + weighted-average init."""
         dists, nbrs = knn(query, train_features, self.k_neighbors)
         weights, _, _ = fuzzy_weights(dists)
-        graph = directed_graph(nbrs, weights, train_features.shape[0])
         init = embed_query(nbrs, weights, train_embeds)
-        return graph, init
+        return nbrs, weights, init
 
     def invert_graph(
         self,
@@ -92,11 +97,10 @@ class ModalityEncoder:
         train_data: jax.Array,
         a: float,
         b: float,
-    ) -> tuple[EdgeGraph, jax.Array]:
-        """Latent-space graph + data-space initialization (fixed invert
-        semantics, SURVEY.md §2.10a)."""
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """Latent-space (nbrs, weights) + data-space initialization
+        (fixed invert semantics, SURVEY.md §2.10a)."""
         dists, nbrs = knn(query_embeds, train_embeds, self.k_neighbors)
         weights = curve_weights(dists, jnp.float32(a), jnp.float32(b))
-        graph = directed_graph(nbrs, weights, train_embeds.shape[0])
         init = embed_query(nbrs, weights, train_data)
-        return graph, init
+        return nbrs, weights, init

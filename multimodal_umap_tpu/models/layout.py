@@ -2,25 +2,51 @@
 
 Re-designs the reference's Python training loop
 (reference impl/model.py:396-481) as a single jit-compiled epoch step
-scanned over epochs. Semantics preserved exactly (SURVEY.md §2.6,
-§2.10b-c):
+scanned over epochs. Semantics preserved (SURVEY.md §2.6, §2.10b-c):
 
-  * per epoch, each edge is kept by a Bernoulli draw with probability
-    equal to its fuzzy weight (impl/model.py:432);
-  * each kept edge contributes one attraction term plus ``num_rep``
-    uniformly-sampled repulsion terms;
-  * edges are grouped into row-index windows of ``batch_size``; the
-    modality loss is the *mean over windows of per-window means*
-    (mean-of-means, impl/model.py:423-453) -- realized here with
-    segment sums over a static window id, no dynamic shapes;
+  * per epoch, each nonzero of the symmetric fuzzy matrix is kept by a
+    Bernoulli draw with probability equal to its weight
+    (impl/model.py:432) -- both directed copies of a pair are distinct
+    draws, as in the reference's coalesced COO;
+  * each kept entry contributes one attraction term plus ``num_rep``
+    repulsion terms against uniform rows;
+  * entries are grouped into row-index windows of ``batch_size``; the
+    modality loss is the mean over windows of per-window means
+    (mean-of-means, impl/model.py:423-453);
   * in fit mode the symmetric InfoNCE loss is added with effective
     weight 2*alpha (impl/model.py:459-472);
   * Adam takes ONE step per epoch on the summed loss
     (impl/model.py:474-476) -- full-batch Adam, which is why a single
-    fused kernel per epoch is semantically exact.
+    fused program per epoch is semantically exact.
 
-Variable-size edge batches become weight-0 masked contributions; the
-Bernoulli keep is a mask, never a gather, so every shape is static.
+TPU-native dense formulation (v3). XLA's scatter-add costs ~16 ms per
+(1M, 64) aggregation on v5e and a naive autodiff epoch needs 10+ of
+them; log-depth scan substitutes are no better. This engine removes
+every edge-sized gradient aggregation:
+
+  * the fit graph lives in its forward (N, k) kNN layout; the
+    transposed copies are represented by per-slot Bernoulli masks and
+    COEFFICIENTS (both copies of a pair share the same attraction value
+    f(x_i, x_j), so the loss is sum over forward slots of
+    (c_fwd + c_bwd) * f) -- the anchor-side gradient reduces over the k
+    axis for free;
+  * the single remaining column aggregation (gradient w.r.t. the
+    gathered neighbor) runs through a padded gather map built once per
+    graph (ops/scatter_free.gather_neighbors);
+  * fit-mode repulsion negatives are drawn as one random permutation of
+    the rows per round, SHARED by the kept entries anchored at a row:
+    per-entry marginals stay uniform and the expected loss matches the
+    reference's iid draws exactly, while gradients become dense (N, D)
+    arithmetic plus an inverse-permutation reindex. (Deviation from the
+    reference's iid sampling: same-row entries share a round's
+    negative. The reference itself is randomized; parity gates are
+    statistical, SURVEY.md §4.)
+  * transform/invert keep the reference's iid negatives verbatim: their
+    reference side is frozen, so no aggregation ever arises.
+
+``deterministic=True`` replaces Bernoulli keeps with their expectation
+(soft weights), making the loss a deterministic function -- used by
+tests to compare this engine against a naive autodiff implementation.
 """
 
 from __future__ import annotations
@@ -33,22 +59,29 @@ import jax.numpy as jnp
 import optax
 
 from ..ops import losses as L
-from ..ops.graph import EdgeGraph
+from ..ops.graph import DenseSymGraph
+from ..ops.scatter_free import (
+    col_sum_scalar,
+    gather_neighbors,
+    permutation_gather,
+    random_permutation_pair,
+)
 
 
 class LayoutTask(typing.NamedTuple):
     """Per-modality dynamic state for the layout optimizer (a pytree).
 
-    ``ref`` is None in fit mode (both edge endpoints are parameters),
-    the frozen reference embeddings in transform mode, and the frozen
-    training *data* in invert mode. ``sigmas``/``rhos`` are the fit-time
-    bandwidths of the target modality, used only in invert mode.
+    Fit mode: ``nbrs/weights/bwd_valid/pad_map`` from
+    :class:`DenseSymGraph`, ``ref`` is None.
+    Transform/invert: (Q, k) query graph arrays; ``ref`` holds the
+    frozen reference table (embeddings / training data);
+    ``sigmas``/``rhos`` are the fit-time bandwidths (invert only).
     """
 
-    rows: jax.Array
-    cols: jax.Array
-    weights: jax.Array
-    valid: jax.Array
+    nbrs: jax.Array  # (Q, k) int32
+    weights: jax.Array  # (Q, k) f32
+    bwd_valid: jax.Array | None  # (N, k) bool, fit only
+    pad_map: jax.Array | None  # (N, C) int32, fit only
     ref: jax.Array | None
     sigmas: jax.Array | None
     rhos: jax.Array | None
@@ -62,33 +95,149 @@ class TaskStatic(typing.NamedTuple):
     rep_count: int
 
 
-def task_from_graph(
-    graph: EdgeGraph,
+def fit_task(
+    dense: DenseSymGraph, batch_size: int
+) -> tuple[LayoutTask, TaskStatic]:
+    return (
+        LayoutTask(
+            nbrs=dense.nbrs,
+            weights=dense.weights,
+            bwd_valid=dense.bwd_valid,
+            pad_map=dense.pad_map,
+            ref=None,
+            sigmas=None,
+            rhos=None,
+        ),
+        TaskStatic(
+            num_rows=dense.num_rows,
+            num_windows=max(1, -(-dense.num_rows // batch_size)),
+            rep_count=dense.num_rows,
+        ),
+    )
+
+
+def query_task(
+    nbrs: jax.Array,
+    weights: jax.Array,
     batch_size: int,
-    ref: jax.Array | None = None,
+    ref: jax.Array,
     sigmas: jax.Array | None = None,
     rhos: jax.Array | None = None,
 ) -> tuple[LayoutTask, TaskStatic]:
-    rep_count = int(ref.shape[0]) if ref is not None else graph.num_rows
+    q = nbrs.shape[0]
     return (
         LayoutTask(
-            rows=graph.rows,
-            cols=graph.cols,
-            weights=graph.weights,
-            valid=graph.valid,
+            nbrs=nbrs.astype(jnp.int32),
+            weights=weights.astype(jnp.float32),
+            bwd_valid=None,
+            pad_map=None,
             ref=ref,
             sigmas=sigmas,
             rhos=rhos,
         ),
         TaskStatic(
-            num_rows=graph.num_rows,
-            num_windows=max(1, -(-graph.num_rows // batch_size)),
-            rep_count=rep_count,
+            num_rows=q,
+            num_windows=max(1, -(-q // batch_size)),
+            rep_count=int(ref.shape[0]),
         ),
     )
 
 
-def _modality_loss(
+def _window_means_from_rows(
+    row_vals: jax.Array,
+    row_cnt: jax.Array,
+    batch_size: int,
+    num_windows: int,
+) -> jax.Array:
+    """Per-window mean of per-entry values given per-row sums/counts."""
+
+    def wsum(x):
+        n = x.shape[0]
+        padded = num_windows * batch_size
+        if padded != n:
+            x = jnp.pad(x, (0, padded - n))
+        return x.reshape(num_windows, batch_size).sum(axis=1)
+
+    win_sum = wsum(row_vals)
+    cnt = wsum(row_cnt)
+    return jnp.where(cnt > 0, win_sum / jnp.maximum(cnt, 1.0), 0.0)
+
+
+def _inv_window_coef(
+    row_cnt: jax.Array, batch_size: int, num_windows: int
+) -> jax.Array:
+    """(N,) per-row coefficient 1/(cnt_window(row) * W), 0 on empty."""
+    n = row_cnt.shape[0]
+    padded = num_windows * batch_size
+    x = jnp.pad(row_cnt, (0, padded - n)) if padded != n else row_cnt
+    cnt_w = x.reshape(num_windows, batch_size).sum(axis=1)
+    inv = jnp.where(cnt_w > 0, 1.0 / jnp.maximum(cnt_w, 1.0), 0.0)
+    inv = inv / num_windows
+    return jnp.repeat(inv, batch_size)[:n]
+
+
+def _fit_modality_loss(
+    embed: jax.Array,
+    task: LayoutTask,
+    static: TaskStatic,
+    key: jax.Array,
+    *,
+    a: jax.Array,
+    b: jax.Array,
+    num_rep: int,
+    batch_size: int,
+    deterministic: bool,
+) -> jax.Array:
+    n, k = task.nbrs.shape
+    key_f, key_b, key_neg = jax.random.split(key, 3)
+
+    if deterministic:
+        keep_f = task.weights
+        keep_b = task.weights * task.bwd_valid.astype(jnp.float32)
+    else:
+        keep_f = (
+            jax.random.uniform(key_f, (n, k)) < task.weights
+        ).astype(jnp.float32)
+        keep_b = (
+            (jax.random.uniform(key_b, (n, k)) < task.weights)
+            & task.bwd_valid
+        ).astype(jnp.float32)
+
+    # Kept-entry counts anchored at each row: forward slots directly,
+    # transposed slots via the column map.
+    rowcnt = keep_f.sum(axis=1) + col_sum_scalar(keep_b, task.pad_map)
+    inv_row = _inv_window_coef(rowcnt, batch_size, static.num_windows)
+
+    # Both copies of a pair share f(x_i, x_j); windows differ: the
+    # forward copy is windowed by i, the transposed copy by j.
+    coef = keep_f * inv_row[:, None] + keep_b * inv_row[task.nbrs]
+
+    y = gather_neighbors(embed, task.nbrs, task.pad_map)  # (N, k, D)
+    attr = L.umap_attr(embed[:, None, :], y, a, b)  # (N, k)
+    loss_attr = jnp.sum(coef * attr)
+
+    if num_rep == 0:
+        return loss_attr
+
+    # Row-level permutation negatives; each row's kept entries share the
+    # round's negative (see module docstring).
+    rep_coef = rowcnt * inv_row  # (N,)
+
+    def fold_neg(acc, nk):
+        pi, pi_inv = random_permutation_pair(nk, static.rep_count)
+        neg = permutation_gather(embed, pi, pi_inv)
+        return acc + L.umap_rep(embed, neg, a, b), None
+
+    rep_sum, _ = jax.lax.scan(
+        fold_neg,
+        jnp.zeros(n, dtype=jnp.float32),
+        jax.random.split(key_neg, num_rep),
+    )
+    loss_rep = jnp.sum(rep_coef * (rep_sum / num_rep))
+    return loss_attr + loss_rep
+
+
+def _query_modality_loss(
     embed: jax.Array,
     task: LayoutTask,
     static: TaskStatic,
@@ -99,52 +248,57 @@ def _modality_loss(
     b: jax.Array,
     num_rep: int,
     batch_size: int,
+    deterministic: bool,
 ) -> jax.Array:
-    """Mean-over-windows of per-window (attract + repel) means."""
+    """Transform/invert: queries attract to frozen reference rows and
+    repel from iid-uniform reference rows (reference impl/model.py:
+    399-449 with frozen refs). No gradient ever reaches ``ref``, so the
+    whole loss is (Q, k)-dense with free anchor-side gradients."""
+    q, k = task.nbrs.shape
     key_keep, key_neg = jax.random.split(key)
-    num_edges = task.rows.shape[0]
-    window = (task.rows // batch_size).astype(jnp.int32)
 
-    keep = (
-        jax.random.uniform(key_keep, (num_edges,)) < task.weights
-    ) & task.valid
-    keep_f = keep.astype(jnp.float32)
-    cnt = jax.ops.segment_sum(keep_f, window, num_segments=static.num_windows)
-
-    x_i = embed[task.rows]
-    target = task.ref if task.ref is not None else embed
-    y_j = target[task.cols]
-
-    if mode == "invert":
-        attr_e = L.inv_attr(x_i, y_j, a, b, task.sigmas[task.cols])
+    if deterministic:
+        keep = task.weights
     else:
-        attr_e = L.umap_attr(x_i, y_j, a, b)
+        keep = (
+            jax.random.uniform(key_keep, (q, k)) < task.weights
+        ).astype(jnp.float32)
 
-    # num_rep negatives per edge, folded to keep live memory at
-    # O(E * D); remat keeps autodiff from saving each iteration's
-    # gathered rows (8 x 244 MB at flickr scale).
-    neg_keys = jax.random.split(key_neg, num_rep)
+    y_j = task.ref[task.nbrs]  # (Q, k, D), frozen
+    x = embed[:, None, :]
+    if mode == "invert":
+        attr = L.inv_attr(x, y_j, a, b, task.sigmas[task.nbrs])
+    else:
+        attr = L.umap_attr(x, y_j, a, b)
 
-    @jax.checkpoint
-    def fold_neg(acc, nk):
-        neg_idx = jax.random.randint(nk, (num_edges,), 0, static.rep_count)
-        y_neg = target[neg_idx]
-        if mode == "invert":
-            rep = L.inv_rep(x_i, y_neg, task.sigmas[neg_idx], task.rhos[neg_idx])
-        else:
-            rep = L.umap_rep(x_i, y_neg, a, b)
-        return acc + rep, None
+    if num_rep > 0:
+        def fold_neg(acc, nk):
+            neg_idx = jax.random.randint(
+                nk, (q, k), 0, static.rep_count
+            )
+            y_neg = task.ref[neg_idx]
+            if mode == "invert":
+                rep = L.inv_rep(
+                    x, y_neg, task.sigmas[neg_idx], task.rhos[neg_idx]
+                )
+            else:
+                rep = L.umap_rep(x, y_neg, a, b)
+            return acc + rep, None
 
-    rep_sum, _ = jax.lax.scan(
-        fold_neg, jnp.zeros(num_edges, dtype=jnp.float32), neg_keys
+        rep_sum, _ = jax.lax.scan(
+            fold_neg,
+            jnp.zeros((q, k), dtype=jnp.float32),
+            jax.random.split(key_neg, num_rep),
+        )
+        per_slot = keep * (attr + rep_sum / num_rep)
+    else:
+        per_slot = keep * attr
+
+    row_vals = per_slot.sum(axis=1)
+    row_cnt = keep.sum(axis=1)
+    win_mean = _window_means_from_rows(
+        row_vals, row_cnt, batch_size, static.num_windows
     )
-    rep_mean = rep_sum / num_rep
-
-    per_edge = keep_f * (attr_e + rep_mean)
-    win_sum = jax.ops.segment_sum(
-        per_edge, window, num_segments=static.num_windows
-    )
-    win_mean = jnp.where(cnt > 0, win_sum / jnp.maximum(cnt, 1.0), 0.0)
     return jnp.mean(win_mean)
 
 
@@ -157,6 +311,7 @@ def make_loss_fn(
     batch_size: int,
     n_neg_infonce: int = 8,
     infonce_temperature: float = 0.5,
+    deterministic: bool = False,
 ):
     """Builds the total-loss function for one epoch.
 
@@ -171,17 +326,18 @@ def make_loss_fn(
         keys = jax.random.split(key, num_modes + 1)
         total = jnp.float32(0.0)
         for i in range(num_modes):
-            total = total + _modality_loss(
-                params[i],
-                tasks[i],
-                statics[i],
-                keys[i],
-                mode=mode,
-                a=a,
-                b=b,
-                num_rep=num_rep,
-                batch_size=batch_size,
-            )
+            if mode == "fit":
+                total = total + _fit_modality_loss(
+                    params[i], tasks[i], statics[i], keys[i],
+                    a=a, b=b, num_rep=num_rep, batch_size=batch_size,
+                    deterministic=deterministic,
+                )
+            else:
+                total = total + _query_modality_loss(
+                    params[i], tasks[i], statics[i], keys[i],
+                    mode=mode, a=a, b=b, num_rep=num_rep,
+                    batch_size=batch_size, deterministic=deterministic,
+                )
         if mode == "fit" and num_modes > 1 and alpha != 0.0:
             # Symmetric InfoNCE added to both modality buckets => 2*alpha
             # effective weight (SURVEY.md §2.10c).

@@ -22,9 +22,10 @@ import numpy as np
 from ..ops.graph import EdgeGraph
 from ..parallel.mesh import ShardingPlan, shard_task
 from ..utils import checkpoint as ckpt
+from ..utils.prof import PhaseTimer
 from .curve import get_ab_coeffs as _get_ab_coeffs
 from .encoder import ModalityEncoder
-from .layout import task_from_graph, train_layout
+from .layout import fit_task, query_task, train_layout
 
 
 def _as_f32(x) -> jax.Array:
@@ -81,6 +82,7 @@ class MultimodalUMAP:
         self.graphs: list[EdgeGraph] = []
         self.embeds: list[jax.Array] = []
         self.loss_history: dict[str, np.ndarray] = {}
+        self.timer = PhaseTimer()
 
     # ------------------------------------------------------------------
     # Lifecycle
@@ -94,6 +96,7 @@ class MultimodalUMAP:
         lr: float = 0.2,
         alpha: float = 0.5,
         batch_size: int = 512,
+        progress_path: str | None = None,
     ) -> None:
         """Fits the shared latent space to multimodal training data.
 
@@ -104,6 +107,9 @@ class MultimodalUMAP:
             lr: Adam learning rate.
             alpha: InfoNCE weight (effective 2*alpha, SURVEY.md §2.10c).
             batch_size: row-window size for loss averaging.
+            progress_path: if set, the in-progress embeddings are
+                snapshotted there (npz) at every epoch-chunk boundary so
+                a preempted run loses at most one chunk (SURVEY.md §5.3).
         """
         self.data = [_as_f32(x) for x in inputs]
         if len(self.data) != self.num_encoders:
@@ -116,34 +122,49 @@ class MultimodalUMAP:
             # data-parallel with replicated column blocks.
             self.data = [plan.rows(x) for x in self.data]
 
-        graphs, inits = [], []
-        for enc, feats in zip(self.encoders, self.data):
-            graph, init = enc.fit_graph(feats)
+        graphs, denses, inits = [], [], []
+        for i, (enc, feats) in enumerate(zip(self.encoders, self.data)):
+            with self.timer.phase(f"fit/graph_{i}"):
+                graph, dense, init = enc.fit_graph(feats)
             graphs.append(graph)
+            denses.append(dense)
             inits.append(init)
         self.graphs = graphs
 
         tasks, statics = zip(
-            *(task_from_graph(g, batch_size) for g in graphs)
+            *(fit_task(d, batch_size) for d in denses)
         )
         if plan is not None:
             tasks, inits = zip(
                 *(shard_task(plan, t, e) for t, e in zip(tasks, inits))
             )
-        embeds, hist = train_layout(
-            inits,
-            tasks,
-            statics,
-            mode="fit",
-            epochs=epochs,
-            num_rep=num_rep,
-            lr=lr,
-            alpha=alpha,
-            batch_size=batch_size,
-            a=self.a,
-            b=self.b,
-            key=jax.random.PRNGKey(self.seed),
-        )
+
+        callback = None
+        if progress_path is not None:
+            def callback(done, params, hist):
+                np.savez(
+                    progress_path,
+                    epoch=done,
+                    **{f"embeds_{m}": np.asarray(p)
+                       for m, p in enumerate(params)},
+                )
+
+        with self.timer.phase("fit/layout"):
+            embeds, hist = train_layout(
+                inits,
+                tasks,
+                statics,
+                mode="fit",
+                epochs=epochs,
+                num_rep=num_rep,
+                lr=lr,
+                alpha=alpha,
+                batch_size=batch_size,
+                a=self.a,
+                b=self.b,
+                key=jax.random.PRNGKey(self.seed),
+                chunk_callback=callback,
+            )
         self.embeds = embeds
         self.loss_history["fit"] = np.asarray(hist)
 
@@ -190,11 +211,11 @@ class MultimodalUMAP:
         tasks, statics, inits = [], [], []
         for q, enc_idx in zip(queries, indices):
             enc = self.encoders[enc_idx]
-            graph, init = enc.transform_graph(
+            nbrs, weights, init = enc.transform_graph(
                 q, self.data[enc_idx], self.embeds[enc_idx]
             )
-            task, static = task_from_graph(
-                graph, batch_size, ref=self.embeds[enc_idx]
+            task, static = query_task(
+                nbrs, weights, batch_size, ref=self.embeds[enc_idx]
             )
             tasks.append(task)
             statics.append(static)
@@ -249,15 +270,16 @@ class MultimodalUMAP:
         tasks, statics, inits = [], [], []
         for z, enc_idx in zip(queries, indices):
             enc = self.encoders[enc_idx]
-            graph, init = enc.invert_graph(
+            nbrs, weights, init = enc.invert_graph(
                 z,
                 self.embeds[enc_idx],
                 self.data[enc_idx],
                 self.a,
                 self.b,
             )
-            task, static = task_from_graph(
-                graph,
+            task, static = query_task(
+                nbrs,
+                weights,
                 batch_size,
                 ref=self.data[enc_idx],
                 sigmas=enc.sigmas,
@@ -340,6 +362,7 @@ class MultimodalUMAP:
         model.graphs = state["graphs"]
         model.embeds = state["embeds"]
         model.loss_history = {}
+        model.timer = PhaseTimer()
         return model
 
     load = load_state_dict

@@ -75,35 +75,49 @@ def infonce(
 ) -> jax.Array:
     """Cross-modal InfoNCE alignment (reference impl/model.py:364-394).
 
-    Paired rows are positives; ``n_neg + 1`` uniform negatives are drawn
-    per anchor with anchor-index collisions masked to -inf. The
-    reference averages per 1000-element groups of a fresh random
-    permutation and then averages the group means -- reproduced here
-    with a padded fixed-shape permutation so the last (short) group
-    carries the same weight.
+    Paired rows are positives; ``n_neg + 1`` negatives per anchor with
+    anchor-index collisions masked to -inf. The reference averages per
+    1000-element groups of a fresh random permutation and then averages
+    the group means -- reproduced with a padded fixed-shape permutation
+    so the last (short) group carries the same weight.
+
+    TPU note: negatives are drawn as rotations of one random permutation
+    (negative of anchor slot i in column c is q[(i + off_c) % num])
+    instead of iid uniform. Marginals stay uniform; the backward becomes
+    permutation/roll reindexing instead of a scatter-add
+    (ops/scatter_free.py rationale). The reference's own sampling is
+    randomized, so parity is statistical (SURVEY.md §4).
 
     Returns the scalar loss (directional: anchors from ``embeds_0``).
     """
+    from .scatter_free import permutation_gather, random_permutation_pair
+
     num = min(embeds_0.shape[0], embeds_1.shape[0])
     if num == 0:
         return jnp.float32(0.0)
     num_groups = -(-num // group_size)
     padded = num_groups * group_size
 
-    key_perm, key_neg = jax.random.split(key)
-    perm = jax.random.permutation(key_perm, num)
-    perm = jnp.concatenate(
-        [perm, jnp.zeros(padded - num, dtype=perm.dtype)]
-    )
+    key_perm, key_negperm, key_off = jax.random.split(key, 3)
+    perm, perm_inv = random_permutation_pair(key_perm, num)
     pad_mask = jnp.arange(padded) < num
 
-    anchors = _l2_normalize(embeds_0[perm[:num]])
-    positives = _l2_normalize(embeds_1[perm[:num]])
+    anchors = _l2_normalize(permutation_gather(embeds_0[:num], perm, perm_inv))
+    positives = _l2_normalize(
+        permutation_gather(embeds_1[:num], perm, perm_inv)
+    )
     pos_sim = jnp.sum(anchors * positives, axis=1) / temperature
 
-    neg_idx = jax.random.randint(key_neg, (num, n_neg + 1), 0, num)
-    not_self = neg_idx != perm[:num, None]
-    negatives = _l2_normalize(embeds_1[neg_idx])
+    q, q_inv = random_permutation_pair(key_negperm, num)
+    permuted_1 = permutation_gather(embeds_1[:num], q, q_inv)
+    offsets = jax.random.randint(key_off, (n_neg + 1,), 0, num)
+    neg_idx = (jnp.arange(num, dtype=jnp.int32)[:, None]
+               + offsets[None, :]) % num  # (num, n_neg+1)
+    neg_rows = q[neg_idx]  # actual negative row ids
+    not_self = neg_rows != perm[:, None]
+    # Cyclic-shift gathers of the permuted table; the backward scatter
+    # is only (num * (n_neg+1)) rows -- negligible.
+    negatives = _l2_normalize(permuted_1[neg_idx])
     neg_sim = jnp.einsum("nd,nkd->nk", anchors, negatives) / temperature
     neg_sim = jnp.where(not_self, neg_sim, -jnp.inf)
 

@@ -58,18 +58,25 @@ class ShardingPlan:
 def shard_task(plan: ShardingPlan, task, init_embed: jax.Array):
     """Places a LayoutTask + its initial embeddings on the mesh.
 
-    Edge arrays shard on the edge axis, the embedding parameters on
-    rows; frozen references and fit-time bandwidths replicate so that
-    per-edge gathers stay local after one all-gather of the (small)
-    table.
+    (N, k)/(Q, k) slot arrays and the padded column map shard on rows;
+    the embedding parameters shard on rows; frozen references and
+    fit-time bandwidths replicate so per-slot gathers stay local after
+    one all-gather of the (small) table.
     """
+
+    def maybe_rows(x):
+        return plan.rows(x) if x is not None else None
+
+    def maybe_repl(x):
+        return plan.replicated(x) if x is not None else None
+
     replaced = task._replace(
-        rows=plan.rows(task.rows),
-        cols=plan.rows(task.cols),
+        nbrs=plan.rows(task.nbrs),
         weights=plan.rows(task.weights),
-        valid=plan.rows(task.valid),
-        ref=plan.replicated(task.ref) if task.ref is not None else None,
-        sigmas=plan.replicated(task.sigmas) if task.sigmas is not None else None,
-        rhos=plan.replicated(task.rhos) if task.rhos is not None else None,
+        bwd_valid=maybe_rows(task.bwd_valid),
+        pad_map=maybe_rows(task.pad_map),
+        ref=maybe_repl(task.ref),
+        sigmas=maybe_repl(task.sigmas),
+        rhos=maybe_repl(task.rhos),
     )
     return replaced, plan.rows(init_embed)

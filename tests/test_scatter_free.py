@@ -1,0 +1,140 @@
+"""Scatter-free gradient primitives vs autodiff oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_umap_tpu.ops.scatter_free import (
+    aggregate_rows,
+    build_transpose_context,
+    gather_rows,
+    permutation_gather,
+    random_permutation_pair,
+    row_sum,
+)
+
+
+def test_aggregate_rows_matches_scatter(rng):
+    idx = jnp.asarray(rng.integers(0, 37, size=500).astype(np.int32))
+    vals = jnp.asarray(rng.normal(size=(500, 6)).astype(np.float32))
+    ctx = build_transpose_context(idx, 37)
+    got = aggregate_rows(vals, ctx, 37)
+    want = jnp.zeros((37, 6)).at[idx].add(vals)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gather_rows_grad_matches_autodiff(rng):
+    idx = jnp.asarray(rng.integers(0, 29, size=300).astype(np.int32))
+    table = jnp.asarray(rng.normal(size=(29, 5)).astype(np.float32))
+    weights = jnp.asarray(rng.normal(size=(300, 5)).astype(np.float32))
+    ctx = build_transpose_context(idx, 29)
+
+    custom = jax.grad(lambda t: jnp.sum(
+        gather_rows(t, idx, ctx.perm, ctx.ends, ctx.counts) * weights))(table)
+    plain = jax.grad(lambda t: jnp.sum(t[idx] * weights))(table)
+    np.testing.assert_allclose(np.asarray(custom), np.asarray(plain),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_row_sum_value_and_grad(rng):
+    idx = jnp.asarray(rng.integers(0, 23, size=200).astype(np.int32))
+    vals = jnp.asarray(rng.normal(size=(200,)).astype(np.float32))
+    out_w = jnp.asarray(rng.normal(size=(23,)).astype(np.float32))
+    ctx = build_transpose_context(idx, 23)
+
+    def rsum(v):
+        return row_sum(v, idx, ctx.perm, ctx.ends, ctx.counts)
+
+    got = rsum(vals)
+    want = jax.ops.segment_sum(vals, idx, num_segments=23)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    g_custom = jax.grad(lambda v: jnp.sum(rsum(v) * out_w))(vals)
+    g_plain = jax.grad(
+        lambda v: jnp.sum(jax.ops.segment_sum(v, idx, num_segments=23) * out_w)
+    )(vals)
+    np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_plain),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_permutation_gather_grad(rng):
+    pi, pi_inv = random_permutation_pair(jax.random.PRNGKey(3), 41)
+    # pi_inv really inverts pi.
+    np.testing.assert_array_equal(np.asarray(pi[pi_inv]), np.arange(41))
+    table = jnp.asarray(rng.normal(size=(41, 4)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(41, 4)).astype(np.float32))
+
+    custom = jax.grad(
+        lambda t: jnp.sum(permutation_gather(t, pi, pi_inv) * w)
+    )(table)
+    plain = jax.grad(lambda t: jnp.sum(t[pi] * w))(table)
+    np.testing.assert_allclose(np.asarray(custom), np.asarray(plain),
+                               rtol=1e-6)
+
+
+def test_gather_neighbors_grad_matches_autodiff(rng):
+    from multimodal_umap_tpu.ops.graph import neighbor_aggregation_map
+    from multimodal_umap_tpu.ops.scatter_free import gather_neighbors
+
+    nbrs = jnp.asarray(rng.integers(0, 50, size=(50, 6)).astype(np.int32))
+    pad_map = neighbor_aggregation_map(nbrs)
+    table = jnp.asarray(rng.normal(size=(50, 5)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(50, 6, 5)).astype(np.float32))
+
+    custom = jax.grad(
+        lambda t: jnp.sum(gather_neighbors(t, nbrs, pad_map) * w)
+    )(table)
+    plain = jax.grad(lambda t: jnp.sum(t[nbrs] * w))(table)
+    np.testing.assert_allclose(np.asarray(custom), np.asarray(plain),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_dense_fit_loss_matches_naive_edge_list(rng):
+    """Deterministic mode (Bernoulli keeps replaced by expectations):
+    the dense fit engine's loss and gradient must equal a naive
+    edge-list autodiff implementation of the reference semantics --
+    every directed entry of the symmetric matrix weighted by
+    w_e / (cnt_window(anchor) * W), attraction only (negatives use a
+    different sampling structure by design)."""
+    from multimodal_umap_tpu.models.layout import _fit_modality_loss, fit_task
+    from multimodal_umap_tpu.ops import losses as LL
+    from multimodal_umap_tpu.ops.graph import (
+        fuzzy_weights,
+        symmetrize,
+        symmetrize_dense,
+    )
+    from multimodal_umap_tpu.ops.knn import knn
+
+    x = jnp.asarray(rng.normal(size=(90, 7)).astype(np.float32))
+    d, nb = knn(x, x, 6, exclude_self=True)
+    w, _, _ = fuzzy_weights(d)
+    dense = symmetrize_dense(nb, w)
+    edges = symmetrize(nb, w)
+    task, static = fit_task(dense, 32)
+    embed = jnp.asarray(rng.normal(size=(90, 4)).astype(np.float32))
+    key = jax.random.PRNGKey(7)
+    a, b = jnp.float32(1.577), jnp.float32(0.8951)
+
+    def dense_loss(e):
+        return _fit_modality_loss(e, task, static, key, a=a, b=b,
+                                  num_rep=0, batch_size=32,
+                                  deterministic=True)
+
+    def naive_loss(e):
+        keep = jnp.where(edges.valid, edges.weights, 0.0)
+        attr = LL.umap_attr(e[edges.rows], e[edges.cols], a, b)
+        window = edges.rows // 32
+        win_sum = jax.ops.segment_sum(keep * attr, window,
+                                      num_segments=static.num_windows)
+        cnt = jax.ops.segment_sum(keep, window,
+                                  num_segments=static.num_windows)
+        win_mean = jnp.where(cnt > 0, win_sum / jnp.maximum(cnt, 1.0), 0.0)
+        return jnp.mean(win_mean)
+
+    v_dense, g_dense = jax.value_and_grad(dense_loss)(embed)
+    v_naive, g_naive = jax.value_and_grad(naive_loss)(embed)
+    np.testing.assert_allclose(float(v_dense), float(v_naive), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_dense), np.asarray(g_naive),
+                               rtol=2e-4, atol=1e-6)

@@ -59,8 +59,8 @@ def test_sharded_layout_matches_single_device(blobs):
     (identical program + PRNG draws; only placement differs). Spectral
     init is bypassed: LOBPCG's converged basis has sign/rotation freedom
     that placement can flip, which is irrelevant to layout quality."""
-    from multimodal_umap_tpu.models.layout import task_from_graph, train_layout
-    from multimodal_umap_tpu.ops.graph import fuzzy_weights, symmetrize
+    from multimodal_umap_tpu.models.layout import fit_task, train_layout
+    from multimodal_umap_tpu.ops.graph import fuzzy_weights, symmetrize_dense
     from multimodal_umap_tpu.parallel import shard_task
 
     x0, x1, _ = blobs
@@ -70,10 +70,9 @@ def test_sharded_layout_matches_single_device(blobs):
         x = jnp.asarray(arr)
         d, i = knn(x, x, 8, exclude_self=True)
         w, _, _ = fuzzy_weights(d)
-        g = symmetrize(i, w)
         key, sub = jax.random.split(key)
         inits.append(jax.random.normal(sub, (x.shape[0], 4)) * 0.1)
-        t, s = task_from_graph(g, 64)
+        t, s = fit_task(symmetrize_dense(i, w), 64)
         tasks.append(t)
         statics.append(s)
 

@@ -22,7 +22,8 @@ N, OUT_DIM, K = 31744, 64, 15
 
 def build():
     from multimodal_umap_tpu.data.synthetic import clustered_modalities_device
-    from multimodal_umap_tpu.ops.graph import fuzzy_weights, symmetrize
+    from multimodal_umap_tpu.ops.graph import (
+        fuzzy_weights, symmetrize, symmetrize_dense)
     from multimodal_umap_tpu.ops.knn import knn
     from multimodal_umap_tpu.ops.spectral import spectral_embedding
 
@@ -35,34 +36,36 @@ def build():
         d, nb = knn(x, x, K, exclude_self=True)
         w, _, _ = fuzzy_weights(d)
         g = symmetrize(nb, w)
+        dense = symmetrize_dense(nb, w)
         e = spectral_embedding(g, OUT_DIM)
         jax.block_until_ready(e)
-        print(f"modality {m}: graph+spectral {time.perf_counter()-t0:.1f}s",
-              flush=True)
-        out[f"rows_{m}"] = np.asarray(g.rows)
-        out[f"cols_{m}"] = np.asarray(g.cols)
-        out[f"weights_{m}"] = np.asarray(g.weights)
-        out[f"valid_{m}"] = np.asarray(g.valid)
+        print(f"modality {m}: graph+spectral {time.perf_counter()-t0:.1f}s "
+              f"(max in-degree {dense.max_in_degree})", flush=True)
+        out[f"nbrs_{m}"] = np.asarray(dense.nbrs)
+        out[f"weights_{m}"] = np.asarray(dense.weights)
+        out[f"bwd_valid_{m}"] = np.asarray(dense.bwd_valid)
+        out[f"pad_map_{m}"] = np.asarray(dense.pad_map)
         out[f"init_{m}"] = np.asarray(e)
     np.savez(CACHE, **out)
     print("saved", CACHE, flush=True)
 
 
 def time_layout(epoch_counts):
-    from multimodal_umap_tpu.models.layout import task_from_graph, train_layout
-    from multimodal_umap_tpu.ops.graph import EdgeGraph
+    from multimodal_umap_tpu.models.layout import fit_task, train_layout
+    from multimodal_umap_tpu.ops.graph import DenseSymGraph
 
     z = np.load(CACHE)
     tasks, statics, inits = [], [], []
     for m in range(2):
-        g = EdgeGraph(
-            rows=jnp.asarray(z[f"rows_{m}"]),
-            cols=jnp.asarray(z[f"cols_{m}"]),
+        pad_map = jnp.asarray(z[f"pad_map_{m}"])
+        dense = DenseSymGraph(
+            nbrs=jnp.asarray(z[f"nbrs_{m}"]),
             weights=jnp.asarray(z[f"weights_{m}"]),
-            valid=jnp.asarray(z[f"valid_{m}"]),
-            num_rows=N, num_cols=N,
+            bwd_valid=jnp.asarray(z[f"bwd_valid_{m}"]),
+            pad_map=pad_map,
+            num_rows=N, max_in_degree=pad_map.shape[1],
         )
-        t, s = task_from_graph(g, 256)
+        t, s = fit_task(dense, 256)
         tasks.append(t)
         statics.append(s)
         inits.append(jnp.asarray(z[f"init_{m}"]))
@@ -72,6 +75,29 @@ def time_layout(epoch_counts):
     n_modes = int(os.environ.get("ABL_MODES", "2"))
     print(f"variant: num_rep={num_rep} alpha={alpha} modes={n_modes}",
           flush=True)
+
+    if os.environ.get("ABL_FWDONLY"):
+        from multimodal_umap_tpu.models.layout import make_loss_fn
+
+        loss_fn = make_loss_fn(statics[:n_modes], mode="fit",
+                               num_rep=num_rep, alpha=alpha, batch_size=256)
+        ab = (jnp.float32(1.577), jnp.float32(0.8951))
+
+        @jax.jit
+        def fwd_scan(params, tsk, keys):
+            def step(carry, k):
+                return carry, loss_fn(params, tsk, ab, k)
+            return jax.lax.scan(step, 0, keys)[1]
+
+        for epochs in epoch_counts:
+            keys = jax.random.split(jax.random.PRNGKey(0), epochs)
+            t0 = time.perf_counter()
+            losses = fwd_scan(tuple(inits[:n_modes]), tuple(tasks[:n_modes]),
+                              keys)
+            jax.block_until_ready(losses)
+            print(f"FWD-ONLY {epochs} epochs: "
+                  f"{time.perf_counter() - t0:.2f}s", flush=True)
+        return
     for epochs in epoch_counts:
         t0 = time.perf_counter()
         embeds, hist = train_layout(

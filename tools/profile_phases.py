@@ -12,8 +12,9 @@ import jax
 import jax.numpy as jnp
 
 from multimodal_umap_tpu.data import clustered_modalities
-from multimodal_umap_tpu.models.layout import task_from_graph, train_layout
-from multimodal_umap_tpu.ops.graph import fuzzy_weights, symmetrize
+from multimodal_umap_tpu.models.layout import fit_task, train_layout
+from multimodal_umap_tpu.ops.graph import (
+    fuzzy_weights, symmetrize, symmetrize_dense)
 from multimodal_umap_tpu.ops.knn import knn
 from multimodal_umap_tpu.ops.spectral import spectral_embedding
 
@@ -36,17 +37,19 @@ def main():
     data = clustered_modalities(n, dims=(128, 128), n_clusters=32, seed=0)
     xs = [jnp.asarray(v) for v in data.values()]
 
-    graphs, inits = [], []
+    graphs, denses, inits = [], [], []
     for i, x in enumerate(xs):
         d, nb = timed(f"knn{i} (cold)" if i == 0 else f"knn{i} (warm)",
                       lambda: knn(x, x, 15, exclude_self=True))
         w = timed(f"fuzzy{i}", lambda: fuzzy_weights(d))[0]
         g = timed(f"sym{i}", lambda: symmetrize(nb, w))
+        dense = timed(f"sym_dense{i}", lambda: symmetrize_dense(nb, w))
         e = timed(f"spectral{i}", lambda: spectral_embedding(g, 8))
         graphs.append(g)
+        denses.append(dense)
         inits.append(e)
 
-    tasks, statics = zip(*(task_from_graph(g, 256) for g in graphs))
+    tasks, statics = zip(*(fit_task(d, 256) for d in denses))
 
     def fit(num_epochs):
         return train_layout(
