@@ -61,8 +61,6 @@ import optax
 from ..ops import losses as L
 from ..ops.graph import DenseSymGraph
 from ..ops.scatter_free import (
-    col_sum_scalar,
-    gather_neighbors,
     permutation_gather,
     random_permutation_pair,
 )
@@ -204,15 +202,24 @@ def _fit_modality_loss(
         ).astype(jnp.float32)
 
     # Kept-entry counts anchored at each row: forward slots directly,
-    # transposed slots via the column map.
-    rowcnt = keep_f.sum(axis=1) + col_sum_scalar(keep_b, task.pad_map)
+    # transposed slots grouped by column (forward-only, no grad path --
+    # a single (N*k,) scalar segment sum).
+    bwd_cnt = jax.ops.segment_sum(
+        keep_b.reshape(-1), task.nbrs.reshape(-1),
+        num_segments=static.num_rows,
+    )
+    rowcnt = keep_f.sum(axis=1) + bwd_cnt
     inv_row = _inv_window_coef(rowcnt, batch_size, static.num_windows)
 
     # Both copies of a pair share f(x_i, x_j); windows differ: the
     # forward copy is windowed by i, the transposed copy by j.
     coef = keep_f * inv_row[:, None] + keep_b * inv_row[task.nbrs]
 
-    y = gather_neighbors(embed, task.nbrs, task.pad_map)  # (N, k, D)
+    # Plain gather: its backward is ONE (N*k, D) scatter-add per
+    # modality per epoch (~8 ms at flickr scale) -- measured cheaper
+    # than a padded column-gather once hub in-degree inflates the pad
+    # map (max in-degree ~120 vs k=15).
+    y = embed[task.nbrs]  # (N, k, D)
     attr = L.umap_attr(embed[:, None, :], y, a, b)  # (N, k)
     loss_attr = jnp.sum(coef * attr)
 

@@ -1,0 +1,67 @@
+"""North-star end-to-end run: full flickr30k-scale fit + cross-modal
+eval on one chip (BASELINE.md target: < 5 min on v5e).
+
+Synthetic features at the real geometry (N=31744 pairs, 768/4096 dims,
+canonical CLI hyperparameters: k=15, out_dim=64, 600 train epochs,
+120 test epochs, lr=0.01, alpha=1.0, batch=256).
+
+Usage: python -u tools/run_flickr_scale_e2e.py [n_train] [n_test]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import numpy as np
+
+from multimodal_umap_tpu import Config, MultimodalUMAP
+from multimodal_umap_tpu.data.synthetic import clustered_modalities_device
+from multimodal_umap_tpu.eval import embed_and_recon, knn_test, similarity_test
+from multimodal_umap_tpu.utils.cache import enable_compilation_cache
+
+
+def main():
+    enable_compilation_cache()
+    n_train = int(sys.argv[1]) if len(sys.argv) > 1 else 31744
+    n_test = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+
+    cfg = Config()  # canonical reference CLI defaults
+    train = clustered_modalities_device(n_train, dims=(768, 4096),
+                                        n_clusters=256, seed=0)
+    test = clustered_modalities_device(n_test, dims=(768, 4096),
+                                       n_clusters=256, seed=1)
+    jax.block_until_ready(list(train.values()) + list(test.values()))
+
+    t0 = time.perf_counter()
+    model = MultimodalUMAP(cfg.k_neighbors, cfg.out_dim, cfg.min_dist,
+                           num_encoders=2)
+    model.fit([train[k] for k in train], epochs=cfg.train_epochs,
+              num_rep=cfg.num_rep, lr=cfg.lr, alpha=cfg.alpha,
+              batch_size=cfg.batch_size)
+    jax.block_until_ready(model.embeds)
+    t_fit = time.perf_counter() - t0
+    print(f"fit: {t_fit:.1f}s  phases: "
+          f"{ {k: round(v, 1) for k, v in model.timer.report().items()} }",
+          flush=True)
+
+    t1 = time.perf_counter()
+    sim = similarity_test(test, cfg, model=model, return_values=True)
+    acc = knn_test(test, cfg, k=1, model=model, return_values=True)
+    recons = embed_and_recon(model, [test["texts"][:16]], [0], [1], cfg)
+    mse = float(np.mean(
+        (np.asarray(recons[0]) - np.asarray(test["images"][:16])) ** 2
+    ))
+    t_eval = time.perf_counter() - t1
+
+    total = time.perf_counter() - t0
+    print(f"eval: {t_eval:.1f}s  (cosine {sim:.4f}, knn@1 {acc:.4f}, "
+          f"recon MSE {mse:.4f})", flush=True)
+    print(f"END-TO-END: {total:.1f}s "
+          f"({'PASS' if total < 300 else 'MISS'} vs 5-min north star)",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
