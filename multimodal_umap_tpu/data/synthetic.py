@@ -18,17 +18,26 @@ def clustered_modalities_device(
     cluster_scale: float = 6.0,
     noise_scale: float = 1.0,
     seed: int = 0,
+    centers_seed: int | None = None,
 ) -> dict:
     """Device-side variant of :func:`clustered_modalities` (jax.random).
 
     The bench/profile path: this host has a single vCPU, so numpy
     generation at flickr scale takes minutes while the TPU does it in
     milliseconds. Distribution matches the numpy variant (not bitwise).
+
+    ``centers_seed`` fixes the cluster geometry independently of the
+    sample draws, so a test split (different ``seed``, same
+    ``centers_seed``) lies on the same manifold as the train split --
+    required for out-of-sample evaluation to be meaningful.
     """
     import jax
     import jax.numpy as jnp
 
+    if centers_seed is None:
+        centers_seed = seed
     key = jax.random.PRNGKey(seed)
+    centers_key = jax.random.PRNGKey(centers_seed ^ 0x5EED)
     key_l, key = jax.random.split(key)
     labels = jax.random.randint(key_l, (n_samples,), 0, n_clusters)
     names = (
@@ -38,7 +47,8 @@ def clustered_modalities_device(
     )
     out = {}
     for name, d in zip(names, dims):
-        key_c, key_n, key = jax.random.split(key, 3)
+        key_c, centers_key = jax.random.split(centers_key)
+        key_n, key = jax.random.split(key)
         centers = jax.random.normal(key_c, (n_clusters, d)) * cluster_scale
         out[name] = (
             centers[labels]

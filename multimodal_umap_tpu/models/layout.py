@@ -413,13 +413,28 @@ def train_layout(
     tasks = tuple(tasks)
     ab = (jnp.float32(a), jnp.float32(b))
 
+    # Pin mesh-sharded parameters to their input placement: at small
+    # sizes GSPMD may otherwise resolve outputs to replicated.
+    from jax.sharding import NamedSharding
+
+    param_shardings = tuple(
+        e.sharding if isinstance(e.sharding, NamedSharding) else None
+        for e in params
+    )
+
+    def pin(params):
+        return tuple(
+            jax.lax.with_sharding_constraint(p, s) if s is not None else p
+            for p, s in zip(params, param_shardings)
+        )
+
     @functools.partial(jax.jit, donate_argnames=("params", "opt_state"))
     def run_chunk(params, opt_state, tasks, ab, chunk_keys):
         def epoch_step(carry, ekey):
             params, opt_state = carry
             loss, grads = jax.value_and_grad(loss_fn)(params, tasks, ab, ekey)
             updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+            params = pin(optax.apply_updates(params, updates))
             return (params, opt_state), loss
 
         (params, opt_state), hist = jax.lax.scan(

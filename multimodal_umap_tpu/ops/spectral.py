@@ -45,7 +45,9 @@ def _laplacian_matvec(graph: EdgeGraph, d_inv_sqrt: jax.Array, x: jax.Array):
 
 
 @functools.partial(jax.jit, static_argnames=("out_dim", "max_iters"))
-def _spectral_lobpcg(graph: EdgeGraph, out_dim: int, max_iters: int = 200):
+def _spectral_lobpcg(
+    graph: EdgeGraph, out_dim: int, max_iters: int = 64, tol: float = 1e-3
+):
     n = graph.num_rows
     d_inv_sqrt = _degrees(graph) ** -0.5
     matvec = functools.partial(_laplacian_matvec, graph, d_inv_sqrt)
@@ -56,6 +58,12 @@ def _spectral_lobpcg(graph: EdgeGraph, out_dim: int, max_iters: int = 200):
     # eigenpair converges immediately and the rest orthogonalize to it.
     trivial = 1.0 / d_inv_sqrt
     x0 = x0.at[:, 0].set(trivial / jnp.linalg.norm(trivial))
+    # Iteration cap: each LOBPCG iteration runs a small Rayleigh-Ritz
+    # eigendecomposition that is disproportionately slow on TPU, and the
+    # spectral INIT only has to be low-energy -- the 600-epoch layout
+    # optimization washes out residual inaccuracy (SURVEY.md §7).
+    del tol  # loose tolerances measurably corrupt the subspace; cap
+    # iterations instead and keep machine-precision convergence checks.
     theta, vecs, _ = lobpcg_standard(matvec, x0, m=max_iters)
     # Largest of (c*I - L) == smallest of L; lobpcg returns descending
     # theta, i.e. vecs columns are already ordered by ascending L-eigenvalue.
@@ -81,7 +89,7 @@ def spectral_embedding(
     graph: EdgeGraph,
     out_dim: int,
     method: str = "auto",
-    max_iters: int = 200,
+    max_iters: int = 64,
 ) -> jax.Array:
     """Smallest non-trivial Laplacian eigenvectors of the fuzzy graph.
 

@@ -29,9 +29,11 @@ def main():
 
     cfg = Config()  # canonical reference CLI defaults
     train = clustered_modalities_device(n_train, dims=(768, 4096),
-                                        n_clusters=256, seed=0)
+                                        n_clusters=256, seed=0,
+                                        centers_seed=0)
     test = clustered_modalities_device(n_test, dims=(768, 4096),
-                                       n_clusters=256, seed=1)
+                                       n_clusters=256, seed=1,
+                                       centers_seed=0)
     jax.block_until_ready(list(train.values()) + list(test.values()))
 
     t0 = time.perf_counter()
