@@ -208,15 +208,20 @@ class MultimodalUMAP:
         if len(queries) != len(indices):
             raise ValueError("inputs and data_indices length mismatch")
 
+        plan = self._plan()
         tasks, statics, inits = [], [], []
         for q, enc_idx in zip(queries, indices):
             enc = self.encoders[enc_idx]
+            if plan is not None:
+                q = plan.rows(q)
             nbrs, weights, init = enc.transform_graph(
                 q, self.data[enc_idx], self.embeds[enc_idx]
             )
             task, static = query_task(
                 nbrs, weights, batch_size, ref=self.embeds[enc_idx]
             )
+            if plan is not None:
+                task, init = shard_task(plan, task, init)
             tasks.append(task)
             statics.append(static)
             inits.append(init)
@@ -267,9 +272,12 @@ class MultimodalUMAP:
         if len(queries) != len(indices):
             raise ValueError("inputs and data_indices length mismatch")
 
+        plan = self._plan()
         tasks, statics, inits = [], [], []
         for z, enc_idx in zip(queries, indices):
             enc = self.encoders[enc_idx]
+            if plan is not None:
+                z = plan.rows(z)
             nbrs, weights, init = enc.invert_graph(
                 z,
                 self.embeds[enc_idx],
@@ -285,6 +293,8 @@ class MultimodalUMAP:
                 sigmas=enc.sigmas,
                 rhos=enc.rhos,
             )
+            if plan is not None:
+                task, init = shard_task(plan, task, init)
             tasks.append(task)
             statics.append(static)
             inits.append(init)

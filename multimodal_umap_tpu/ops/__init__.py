@@ -1,6 +1,7 @@
 """TPU compute ops: exact kNN, fuzzy graphs, spectral init, losses."""
 
 from .knn import knn
+from .knn_pallas import knn_pallas
 from .sigma import solve_sigmas
 from .graph import (
     EdgeGraph,
@@ -16,6 +17,7 @@ from . import losses
 
 __all__ = [
     "knn",
+    "knn_pallas",
     "solve_sigmas",
     "EdgeGraph",
     "curve_weights",

