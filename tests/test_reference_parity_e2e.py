@@ -1,0 +1,84 @@
+"""End-to-end quality parity vs the executed reference.
+
+tools/gen_e2e_goldens.py ran the torch reference (with the intended
+invert semantics patched in, SURVEY.md §2.10a) on a fixed small
+synthetic dataset and recorded its evaluation metrics. This test runs
+OUR pipeline on the identical data and configuration and requires
+match-or-beat within statistical bands (both pipelines are randomized;
+SURVEY.md §4: parity is statistical, not bitwise)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from multimodal_umap_tpu.data.synthetic import clustered_modalities
+from multimodal_umap_tpu.models.mixture import MultimodalUMAP
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "goldens",
+                      "reference_e2e.json")
+
+
+@pytest.fixture(scope="module")
+def golden():
+    with open(GOLDEN) as f:
+        return json.load(f)
+
+
+@pytest.fixture(scope="module")
+def results(golden):
+    cfg = golden["config"]
+    data = clustered_modalities(
+        cfg["n_train"] + cfg["n_test"], dims=tuple(cfg["dims"]),
+        n_clusters=cfg["n_clusters"], seed=cfg["seed"],
+    )
+    n_tr = cfg["n_train"]
+    train = [data["texts"][:n_tr], data["images"][:n_tr]]
+    test = [data["texts"][n_tr:], data["images"][n_tr:]]
+
+    model = MultimodalUMAP(cfg["k"], cfg["out_dim"], 0.1, num_encoders=2)
+    model.fit(train, epochs=cfg["epochs"], num_rep=4, lr=0.05, alpha=1.0,
+              batch_size=64)
+
+    embeds = model.transform(test, epochs=cfg["test_epochs"],
+                             data_indices=[0, 1], num_rep=4, lr=0.05,
+                             batch_size=64)
+    e0 = np.asarray(embeds[0])
+    e1 = np.asarray(embeds[1])
+    e0n = e0 / np.maximum(np.linalg.norm(e0, axis=1, keepdims=True), 1e-12)
+    e1n = e1 / np.maximum(np.linalg.norm(e1, axis=1, keepdims=True), 1e-12)
+    cosine = float((e0n * e1n).sum(1).mean())
+
+    n_test = cfg["n_test"]
+    d = np.linalg.norm(e0[:, None] - e1[None, :], axis=2)
+    fwd = np.argsort(d, axis=1)[:, :5]
+    bwd = np.argsort(d.T, axis=1)[:, :5]
+    ids = np.arange(n_test)[:, None]
+    knn5 = (np.any(fwd == ids, 1).mean() + np.any(bwd == ids, 1).mean()) / 2
+
+    z = model.transform([test[0]], epochs=cfg["test_epochs"],
+                        data_indices=[0], num_rep=4, lr=0.05,
+                        batch_size=64)
+    recon = np.asarray(
+        model.inverse_transform(z, epochs=cfg["test_epochs"],
+                                data_indices=[1], num_rep=4, lr=0.05,
+                                batch_size=64)[0]
+    )
+    mse = float(np.mean((recon - np.asarray(test[1])) ** 2))
+    return {"cosine": cosine, "knn5": float(knn5), "recon_mse": mse}
+
+
+def test_cosine_parity(results, golden):
+    ref = golden["reference"]["cosine"]
+    assert results["cosine"] >= ref - 0.10, (results, ref)
+
+
+def test_knn_retrieval_parity(results, golden):
+    ref = golden["reference"]["knn5"]
+    assert results["knn5"] >= 0.7 * ref, (results, ref)
+
+
+def test_recon_mse_parity(results, golden):
+    ref = golden["reference"]["recon_mse"]
+    assert results["recon_mse"] <= 1.3 * ref, (results, ref)
