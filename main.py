@@ -19,7 +19,7 @@ import numpy as np
 from multimodal_umap_tpu import Config, MultimodalUMAP
 from multimodal_umap_tpu.app import crossmodal_recon
 from multimodal_umap_tpu.data import clustered_modalities, load_data
-from multimodal_umap_tpu.eval import knn_test, similarity_test
+from multimodal_umap_tpu.eval import knn_test, similarity_test, train
 from multimodal_umap_tpu.parallel import create_mesh
 from multimodal_umap_tpu.utils.logging import write_loss_log
 
@@ -95,10 +95,14 @@ def main() -> None:
     if args.synthetic:
         n_test = max(16, args.n_samples // 10)
         train_split = clustered_modalities(
-            args.n_samples, dims=(768, 4096), seed=args.seed
+            args.n_samples, dims=(768, 4096), seed=args.seed,
+            centers_seed=args.seed,
         )
+        # Same cluster geometry, fresh samples: the test split must lie
+        # on the train manifold for out-of-sample eval to be meaningful.
         test_split = clustered_modalities(
-            n_test, dims=(768, 4096), seed=args.seed + 1
+            n_test, dims=(768, 4096), seed=args.seed + 1,
+            centers_seed=args.seed,
         )
     else:
         train_split = load_data(split="train")
@@ -111,29 +115,23 @@ def main() -> None:
     if args.load_pretrained == "yes":
         model = MultimodalUMAP.load_state_dict(args.save_path)
     else:
-        model = MultimodalUMAP(
-            k_neighbors=cfg.k_neighbors,
-            out_dim=cfg.out_dim,
-            min_dist=cfg.min_dist,
-            num_encoders=len(train_split),
-            seed=cfg.seed,
-            mesh=mesh,
-        )
-        model.fit(
-            [train_split[key] for key in train_split],
-            epochs=cfg.train_epochs,
-            num_rep=cfg.num_rep,
-            lr=cfg.lr,
-            alpha=cfg.alpha,
-            batch_size=cfg.batch_size,
-        )
+        model = train(train_split, cfg, mesh=mesh)
         write_loss_log(cfg.log_dir, "fit", model.loss_history["fit"])
 
     if args.save_path is not None:
         model.save_state_dict(args.save_path)
 
-    similarity_test(test_split, cfg, model=model)
-    knn_test(test_split, cfg, k=args.k_test, model=model)
+    sim = similarity_test(test_split, cfg, model=model, return_values=True)
+    acc = knn_test(test_split, cfg, k=args.k_test, model=model,
+                   return_values=True)
+    if cfg.log_dir is not None:
+        import json
+        import os
+
+        os.makedirs(cfg.log_dir, exist_ok=True)
+        with open(os.path.join(cfg.log_dir, "metrics.json"), "w") as f:
+            json.dump({"cosine_similarity": sim,
+                       f"knn_accuracy@{args.k_test}": acc}, f, indent=2)
 
     if args.crossmodal == "yes":
         rng = np.random.default_rng(args.seed)

@@ -64,14 +64,22 @@ def clustered_modalities(
     cluster_scale: float = 6.0,
     noise_scale: float = 1.0,
     seed: int = 0,
+    centers_seed: int | None = None,
 ) -> dict[str, np.ndarray]:
     """Paired clustered features, one array per modality.
 
     Returns a dict keyed ``mod0``, ``mod1``, ... matching the reference
     data-dict shape (``{"texts": ..., "images": ...}`` for 2 modalities,
-    reference impl/dataset.py:60-63).
+    reference impl/dataset.py:60-63). ``centers_seed`` fixes the cluster
+    geometry independently of the sample draws so test splits lie on the
+    train manifold.
     """
     rng = np.random.default_rng(seed)
+    # centers_seed=None keeps the legacy single-stream draw order (test
+    # fixtures and the e2e reference golden depend on it bitwise).
+    centers_rng = (
+        rng if centers_seed is None else np.random.default_rng(centers_seed)
+    )
     labels = rng.integers(0, n_clusters, size=n_samples)
     names = (
         ["texts", "images"]
@@ -80,7 +88,7 @@ def clustered_modalities(
     )
     out = {}
     for name, d in zip(names, dims):
-        centers = rng.normal(size=(n_clusters, d)) * cluster_scale
+        centers = centers_rng.normal(size=(n_clusters, d)) * cluster_scale
         out[name] = (
             centers[labels] + rng.normal(size=(n_samples, d)) * noise_scale
         ).astype(np.float32)

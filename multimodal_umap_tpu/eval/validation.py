@@ -25,6 +25,29 @@ from ..models.mixture import MultimodalUMAP
 from ..ops.knn import knn
 
 
+def train(data: dict, cfg: Config, mesh=None) -> MultimodalUMAP:
+    """Trains a multimodal UMAP model on a data dict
+    (reference impl/util.py:33-61)."""
+    tensors = [data[key] for key in data]
+    model = MultimodalUMAP(
+        k_neighbors=cfg.k_neighbors,
+        out_dim=cfg.out_dim,
+        min_dist=cfg.min_dist,
+        num_encoders=len(tensors),
+        seed=cfg.seed,
+        mesh=mesh,
+    )
+    model.fit(
+        tensors,
+        epochs=cfg.train_epochs,
+        num_rep=cfg.num_rep,
+        lr=cfg.lr,
+        alpha=cfg.alpha,
+        batch_size=cfg.batch_size,
+    )
+    return model
+
+
 def embed(
     model: MultimodalUMAP, data: list, src: list[int], cfg: Config
 ) -> list[jax.Array]:
