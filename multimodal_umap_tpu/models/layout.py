@@ -30,9 +30,10 @@ every edge-sized gradient aggregation:
     f(x_i, x_j), so the loss is sum over forward slots of
     (c_fwd + c_bwd) * f) -- the anchor-side gradient reduces over the k
     axis for free;
-  * the single remaining column aggregation (gradient w.r.t. the
-    gathered neighbor) runs through a padded gather map built once per
-    graph (ops/scatter_free.gather_neighbors);
+  * exactly one scatter-add per modality per epoch remains (the
+    neighbor-gather backward, ~8 ms at flickr scale) -- measured cheaper
+    than every scatter-free substitute tried (padded column-gather maps,
+    transpose-ordered prefix scans);
   * fit-mode repulsion negatives are drawn as one random permutation of
     the rows per round, SHARED by the kept entries anchored at a row:
     per-entry marginals stay uniform and the expected loss matches the
@@ -69,8 +70,8 @@ from ..ops.scatter_free import (
 class LayoutTask(typing.NamedTuple):
     """Per-modality dynamic state for the layout optimizer (a pytree).
 
-    Fit mode: ``nbrs/weights/bwd_valid/pad_map`` from
-    :class:`DenseSymGraph`, ``ref`` is None.
+    Fit mode: ``nbrs/weights/bwd_valid`` from :class:`DenseSymGraph`,
+    ``ref`` is None.
     Transform/invert: (Q, k) query graph arrays; ``ref`` holds the
     frozen reference table (embeddings / training data);
     ``sigmas``/``rhos`` are the fit-time bandwidths (invert only).
@@ -79,7 +80,6 @@ class LayoutTask(typing.NamedTuple):
     nbrs: jax.Array  # (Q, k) int32
     weights: jax.Array  # (Q, k) f32
     bwd_valid: jax.Array | None  # (N, k) bool, fit only
-    pad_map: jax.Array | None  # (N, C) int32, fit only
     ref: jax.Array | None
     sigmas: jax.Array | None
     rhos: jax.Array | None
@@ -101,7 +101,6 @@ def fit_task(
             nbrs=dense.nbrs,
             weights=dense.weights,
             bwd_valid=dense.bwd_valid,
-            pad_map=dense.pad_map,
             ref=None,
             sigmas=None,
             rhos=None,
@@ -128,7 +127,6 @@ def query_task(
             nbrs=nbrs.astype(jnp.int32),
             weights=weights.astype(jnp.float32),
             bwd_valid=None,
-            pad_map=None,
             ref=ref,
             sigmas=sigmas,
             rhos=rhos,

@@ -158,38 +158,12 @@ class DenseSymGraph:
     transposed copy (j, i) is a distinct Bernoulli-sampled entry unless
     j already lists i (then the covering slot is j's own forward slot).
 
-    ``pad_map`` groups the N*k forward slots by their COLUMN: row j of
-    pad_map lists the flat slot ids (i*k + m) with nbrs[i, m] == j,
-    padded with the sentinel N*k. It turns every per-column aggregation
-    (the scatter XLA would emit for the neighbor-gather backward) into a
-    padded gather + sum -- built once per graph.
     """
 
     nbrs: jax.Array  # (N, k) int32
     weights: jax.Array  # (N, k) f32 symmetric union weights
     bwd_valid: jax.Array  # (N, k) bool: transposed copy is distinct
-    pad_map: jax.Array  # (N, C) int32 flat fwd-slot ids, sentinel N*k
     num_rows: int = struct.field(pytree_node=False)
-    max_in_degree: int = struct.field(pytree_node=False)
-
-
-def neighbor_aggregation_map(nbrs: jax.Array) -> jax.Array:
-    """(N, C) map of flat slot ids grouped by column (C = max in-degree).
-
-    One sort + one scatter at build time; per-epoch consumers only
-    gather through it.
-    """
-    n, k = nbrs.shape
-    flat_cols = nbrs.reshape(-1).astype(jnp.int32)
-    order = jnp.argsort(flat_cols).astype(jnp.int32)
-    sorted_cols = flat_cols[order]
-    counts = jnp.bincount(flat_cols, length=n)
-    max_c = int(jnp.max(counts))  # host sync: static per graph
-    starts = jnp.cumsum(counts) - counts
-    pos = jnp.arange(n * k, dtype=jnp.int32) - starts[sorted_cols]
-    pad_map = jnp.full((n, max_c), n * k, dtype=jnp.int32)
-    pad_map = pad_map.at[sorted_cols, pos].set(order)
-    return pad_map
 
 
 def symmetrize_dense(nbrs: jax.Array, weights: jax.Array) -> DenseSymGraph:
@@ -202,14 +176,11 @@ def symmetrize_dense(nbrs: jax.Array, weights: jax.Array) -> DenseSymGraph:
     w_rev = jnp.sum(jnp.where(match, weights[nbrs], 0.0), axis=2)
     exists_rev = jnp.any(match, axis=2)
     sym_w = (weights + w_rev - weights * w_rev).astype(jnp.float32)
-    pad_map = neighbor_aggregation_map(nbrs)
     return DenseSymGraph(
         nbrs=nbrs.astype(jnp.int32),
         weights=sym_w,
         bwd_valid=~exists_rev,
-        pad_map=pad_map,
         num_rows=n,
-        max_in_degree=pad_map.shape[1],
     )
 
 

@@ -1,170 +1,33 @@
-"""Scatter-free gradient aggregation for embedding-table gathers.
+"""Scatter-free building blocks for the layout engine's gradients.
 
-TPU XLA lowers the backward of ``table[idx]`` (and segment_sum) to a
-scatter-add, measured at ~16 ms per (E=952k, 64) aggregation on v5e --
-the dominant cost of a layout epoch (10+ scatters/epoch). For a GRAPH,
-the index vector is STATIC across epochs, so the aggregation order can
-be precomputed once:
+XLA lowers the backward of a random-index row gather to a scatter-add,
+measured at ~16 ms per (1M, 64) aggregation on v5e; a naive autodiff
+layout epoch contains 10+ of them. The v3 engine (models/layout.py)
+keeps exactly ONE such scatter per modality and draws everything else
+from structures whose backward is a reindex, not a scatter:
 
-    sort idx once  ->  per-epoch backward = gather(ct, perm)
-                       + cumsum + per-row boundary diff
+  * ``permutation_gather`` -- ``table[pi]`` for a permutation ``pi``:
+    each output row receives exactly one cotangent row, so the VJP is
+    ``ct[pi_inv]``, an exact gather-only reindexing;
+  * ``random_permutation_pair`` -- a uniform permutation and its
+    inverse (two sorts, ~0.3 ms at n=31k).
 
--- three memory-speed passes, no scatter. ``gather_rows`` is a
-custom-VJP drop-in for ``table[idx]``; the cotangent aggregation is
-exact (floating-point reassociation only).
-
-For *negative sampling*, indices are fresh every epoch, so no static
-plan exists; there the trick is structure: draw negatives as a random
-PERMUTATION of the rows (``permutation_gather``), whose backward is a
-reindex by the inverse permutation -- a gather, never a scatter.
+Alternatives that were implemented, measured on v5e, and rejected (see
+commit history): transpose-ordered cumsum/associative-scan aggregation
+(28.5 ms per (1M, 64) pass -- worse than the scatter it replaced) and
+padded per-column gather maps (hub in-degree ~8x-inflates the work).
 """
 
 from __future__ import annotations
-
-import typing
 
 import jax
 import jax.numpy as jnp
 
 
-class TransposeContext(typing.NamedTuple):
-    """Precomputed aggregation plan for a static index vector.
-
-    perm: (E,) positions that sort idx ascending.
-    ends: (num_rows,) exclusive end of each row's span in sorted order.
-    counts: (num_rows,) occurrences per row.
-    """
-
-    perm: jax.Array
-    ends: jax.Array
-    counts: jax.Array
-
-
-def build_transpose_context(idx: jax.Array, num_rows: int) -> TransposeContext:
-    """One-time sort of a static index vector (graph-build cost)."""
-    idx = idx.astype(jnp.int32)
-    perm = jnp.argsort(idx)
-    counts = jnp.bincount(idx, length=num_rows)
-    ends = jnp.cumsum(counts).astype(jnp.int32)
-    return TransposeContext(perm=perm.astype(jnp.int32), ends=ends,
-                            counts=counts.astype(jnp.int32))
-
-
-def _aggregate(ct, perm, ends, counts):
-    """Sum ct rows grouped by the plan's index vector -> (num_rows, D).
-
-    gather + prefix-scan + boundary-diff only; float32 accumulation (the
-    reassociation is benign for gradient use -- validated against
-    autodiff in tests). The prefix sum is ``lax.associative_scan``
-    (log-depth, O(E log E) adds): XLA's cumsum lowering degenerates on
-    very long axes on TPU, the associative scan does not."""
-    s = ct[perm].astype(jnp.float32)
-    if s.ndim == 1:
-        s = s[:, None]
-    c = jax.lax.associative_scan(jnp.add, s, axis=0)
-    zero = jnp.zeros((1,) + c.shape[1:], c.dtype)
-    c = jnp.concatenate([zero, c], axis=0)
-    return c[ends] - c[ends - counts]
-
-
-def aggregate_rows(
-    ct: jax.Array, ctx: TransposeContext, num_rows: int
-) -> jax.Array:
-    """Equivalent of ``zeros((num_rows, D)).at[idx].add(ct)``."""
-    del num_rows  # implied by ctx.ends
-    return _aggregate(ct, ctx.perm, ctx.ends, ctx.counts)
-
-
-@jax.custom_vjp
-def gather_rows(
-    table: jax.Array, idx: jax.Array,
-    perm: jax.Array, ends: jax.Array, counts: jax.Array,
-) -> jax.Array:
-    """``table[idx]`` whose VJP aggregates via the precomputed plan
-    (perm, ends, counts) = build_transpose_context(idx, len(table))."""
-    return table[idx]
-
-
-def _gather_fwd(table, idx, perm, ends, counts):
-    return table[idx], (perm, ends, counts)
-
-
-def _gather_bwd(res, ct):
-    perm, ends, counts = res
-    return _aggregate(ct, perm, ends, counts), None, None, None, None
-
-
-gather_rows.defvjp(_gather_fwd, _gather_bwd)
-
-
-@jax.custom_vjp
-def row_sum(
-    values: jax.Array, idx: jax.Array,
-    perm: jax.Array, ends: jax.Array, counts: jax.Array,
-) -> jax.Array:
-    """Per-row sums of per-edge scalars: the dual of :func:`gather_rows`.
-
-    Forward uses the precomputed plan; the backward of a grouped sum is
-    a broadcast, i.e. ``ct[idx]`` -- a gather."""
-    return _aggregate(values[:, None], perm, ends, counts)[:, 0]
-
-
-def _row_sum_fwd(values, idx, perm, ends, counts):
-    return _aggregate(values[:, None], perm, ends, counts)[:, 0], idx
-
-
-def _row_sum_bwd(idx, ct):
-    return ct[idx], None, None, None, None
-
-
-row_sum.defvjp(_row_sum_fwd, _row_sum_bwd)
-
-
-@jax.custom_vjp
-def gather_neighbors(
-    table: jax.Array, nbrs: jax.Array, pad_map: jax.Array
-) -> jax.Array:
-    """``table[nbrs]`` for a (N, k) neighbor matrix whose VJP aggregates
-    cotangents by COLUMN through the precomputed ``pad_map``
-    (graph.neighbor_aggregation_map) -- padded gather + sum instead of
-    XLA's scatter-add."""
-    return table[nbrs]
-
-
-def _gather_nb_fwd(table, nbrs, pad_map):
-    return table[nbrs], pad_map
-
-
-def _gather_nb_bwd(pad_map, ct):
-    n, k = ct.shape[:2]
-    d = ct.shape[2]
-    flat = jnp.concatenate(
-        [ct.reshape(n * k, d), jnp.zeros((1, d), ct.dtype)], axis=0
-    )
-    # Sentinel n*k hits the appended zero row.
-    grad = jnp.sum(flat[pad_map], axis=1)
-    return grad, None, None
-
-
-gather_neighbors.defvjp(_gather_nb_fwd, _gather_nb_bwd)
-
-
-def col_sum_scalar(values: jax.Array, pad_map: jax.Array) -> jax.Array:
-    """Per-column sums of (N, k) per-slot scalars via the pad map
-    (forward-only; used for window/anchor counts -- no grad path)."""
-    n, k = values.shape
-    flat = jnp.concatenate(
-        [values.reshape(n * k), jnp.zeros((1,), values.dtype)]
-    )
-    return jnp.sum(flat[pad_map], axis=1)
-
-
 @jax.custom_vjp
 def permutation_gather(table: jax.Array, pi: jax.Array, pi_inv: jax.Array):
     """``table[pi]`` whose VJP is ``ct[pi_inv]`` -- a gather, never a
-    scatter. ``pi`` must be a permutation with inverse ``pi_inv``; each
-    output row receives exactly one cotangent row, so the backward is an
-    exact reindexing."""
+    scatter. ``pi`` must be a permutation with inverse ``pi_inv``."""
     return table[pi]
 
 
@@ -181,11 +44,7 @@ permutation_gather.defvjp(_perm_fwd, _perm_bwd)
 
 
 def random_permutation_pair(key: jax.Array, n: int):
-    """(pi, pi_inv) for a uniform random permutation of [0, n).
-
-    One sort each (~0.3 ms at n=31k) -- negligible next to the scatter
-    it replaces.
-    """
+    """(pi, pi_inv) for a uniform random permutation of [0, n)."""
     pi = jax.random.permutation(key, n)
     pi_inv = jnp.argsort(pi)
     return pi.astype(jnp.int32), pi_inv.astype(jnp.int32)

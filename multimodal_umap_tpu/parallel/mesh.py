@@ -74,7 +74,6 @@ def shard_task(plan: ShardingPlan, task, init_embed: jax.Array):
         nbrs=plan.rows(task.nbrs),
         weights=plan.rows(task.weights),
         bwd_valid=maybe_rows(task.bwd_valid),
-        pad_map=maybe_rows(task.pad_map),
         ref=maybe_repl(task.ref),
         sigmas=maybe_repl(task.sigmas),
         rhos=maybe_repl(task.rhos),

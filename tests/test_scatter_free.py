@@ -5,58 +5,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from multimodal_umap_tpu.ops.scatter_free import (
-    aggregate_rows,
-    build_transpose_context,
-    gather_rows,
     permutation_gather,
     random_permutation_pair,
-    row_sum,
 )
 
 
-def test_aggregate_rows_matches_scatter(rng):
-    idx = jnp.asarray(rng.integers(0, 37, size=500).astype(np.int32))
-    vals = jnp.asarray(rng.normal(size=(500, 6)).astype(np.float32))
-    ctx = build_transpose_context(idx, 37)
-    got = aggregate_rows(vals, ctx, 37)
-    want = jnp.zeros((37, 6)).at[idx].add(vals)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=1e-5, atol=1e-5)
 
-
-def test_gather_rows_grad_matches_autodiff(rng):
-    idx = jnp.asarray(rng.integers(0, 29, size=300).astype(np.int32))
-    table = jnp.asarray(rng.normal(size=(29, 5)).astype(np.float32))
-    weights = jnp.asarray(rng.normal(size=(300, 5)).astype(np.float32))
-    ctx = build_transpose_context(idx, 29)
-
-    custom = jax.grad(lambda t: jnp.sum(
-        gather_rows(t, idx, ctx.perm, ctx.ends, ctx.counts) * weights))(table)
-    plain = jax.grad(lambda t: jnp.sum(t[idx] * weights))(table)
-    np.testing.assert_allclose(np.asarray(custom), np.asarray(plain),
-                               rtol=1e-5, atol=1e-5)
-
-
-def test_row_sum_value_and_grad(rng):
-    idx = jnp.asarray(rng.integers(0, 23, size=200).astype(np.int32))
-    vals = jnp.asarray(rng.normal(size=(200,)).astype(np.float32))
-    out_w = jnp.asarray(rng.normal(size=(23,)).astype(np.float32))
-    ctx = build_transpose_context(idx, 23)
-
-    def rsum(v):
-        return row_sum(v, idx, ctx.perm, ctx.ends, ctx.counts)
-
-    got = rsum(vals)
-    want = jax.ops.segment_sum(vals, idx, num_segments=23)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=1e-5, atol=1e-5)
-
-    g_custom = jax.grad(lambda v: jnp.sum(rsum(v) * out_w))(vals)
-    g_plain = jax.grad(
-        lambda v: jnp.sum(jax.ops.segment_sum(v, idx, num_segments=23) * out_w)
-    )(vals)
-    np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_plain),
-                               rtol=1e-5, atol=1e-5)
 
 
 def test_permutation_gather_grad(rng):
@@ -73,22 +27,6 @@ def test_permutation_gather_grad(rng):
     np.testing.assert_allclose(np.asarray(custom), np.asarray(plain),
                                rtol=1e-6)
 
-
-def test_gather_neighbors_grad_matches_autodiff(rng):
-    from multimodal_umap_tpu.ops.graph import neighbor_aggregation_map
-    from multimodal_umap_tpu.ops.scatter_free import gather_neighbors
-
-    nbrs = jnp.asarray(rng.integers(0, 50, size=(50, 6)).astype(np.int32))
-    pad_map = neighbor_aggregation_map(nbrs)
-    table = jnp.asarray(rng.normal(size=(50, 5)).astype(np.float32))
-    w = jnp.asarray(rng.normal(size=(50, 6, 5)).astype(np.float32))
-
-    custom = jax.grad(
-        lambda t: jnp.sum(gather_neighbors(t, nbrs, pad_map) * w)
-    )(table)
-    plain = jax.grad(lambda t: jnp.sum(t[nbrs] * w))(table)
-    np.testing.assert_allclose(np.asarray(custom), np.asarray(plain),
-                               rtol=1e-5, atol=1e-5)
 
 
 def test_dense_fit_loss_matches_naive_edge_list(rng):

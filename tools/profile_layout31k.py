@@ -39,12 +39,11 @@ def build():
         dense = symmetrize_dense(nb, w)
         e = spectral_embedding(g, OUT_DIM)
         jax.block_until_ready(e)
-        print(f"modality {m}: graph+spectral {time.perf_counter()-t0:.1f}s "
-              f"(max in-degree {dense.max_in_degree})", flush=True)
+        print(f"modality {m}: graph+spectral {time.perf_counter()-t0:.1f}s",
+              flush=True)
         out[f"nbrs_{m}"] = np.asarray(dense.nbrs)
         out[f"weights_{m}"] = np.asarray(dense.weights)
         out[f"bwd_valid_{m}"] = np.asarray(dense.bwd_valid)
-        out[f"pad_map_{m}"] = np.asarray(dense.pad_map)
         out[f"init_{m}"] = np.asarray(e)
     np.savez(CACHE, **out)
     print("saved", CACHE, flush=True)
@@ -57,13 +56,11 @@ def time_layout(epoch_counts):
     z = np.load(CACHE)
     tasks, statics, inits = [], [], []
     for m in range(2):
-        pad_map = jnp.asarray(z[f"pad_map_{m}"])
         dense = DenseSymGraph(
             nbrs=jnp.asarray(z[f"nbrs_{m}"]),
             weights=jnp.asarray(z[f"weights_{m}"]),
             bwd_valid=jnp.asarray(z[f"bwd_valid_{m}"]),
-            pad_map=pad_map,
-            num_rows=N, max_in_degree=pad_map.shape[1],
+            num_rows=N,
         )
         t, s = fit_task(dense, 256)
         tasks.append(t)
