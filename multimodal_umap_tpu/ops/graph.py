@@ -166,21 +166,27 @@ class DenseSymGraph:
     num_rows: int = struct.field(pytree_node=False)
 
 
-def symmetrize_dense(nbrs: jax.Array, weights: jax.Array) -> DenseSymGraph:
-    """Dense-layout fuzzy-union symmetrization (same math as
-    :func:`symmetrize`; layout optimized for the epoch engine)."""
-    n, k = nbrs.shape
+@jax.jit
+def _symmetrize_dense_arrays(nbrs: jax.Array, weights: jax.Array):
+    n = nbrs.shape[0]
     nbrs_of_nbrs = nbrs[nbrs]
     row_ids = jnp.arange(n, dtype=nbrs.dtype)[:, None, None]
     match = nbrs_of_nbrs == row_ids
     w_rev = jnp.sum(jnp.where(match, weights[nbrs], 0.0), axis=2)
     exists_rev = jnp.any(match, axis=2)
     sym_w = (weights + w_rev - weights * w_rev).astype(jnp.float32)
+    return sym_w, ~exists_rev
+
+
+def symmetrize_dense(nbrs: jax.Array, weights: jax.Array) -> DenseSymGraph:
+    """Dense-layout fuzzy-union symmetrization (same math as
+    :func:`symmetrize`; layout optimized for the epoch engine)."""
+    sym_w, bwd_valid = _symmetrize_dense_arrays(nbrs, weights)
     return DenseSymGraph(
         nbrs=nbrs.astype(jnp.int32),
         weights=sym_w,
-        bwd_valid=~exists_rev,
-        num_rows=n,
+        bwd_valid=bwd_valid,
+        num_rows=nbrs.shape[0],
     )
 
 
