@@ -23,6 +23,7 @@ sigma/rho solver.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -72,6 +73,11 @@ def knn(
 ) -> tuple[jax.Array, jax.Array]:
     """Exact kNN of ``queries`` against ``references``.
 
+    Engine selection: set ``MMUMAP_KNN_ENGINE=pallas`` to route through
+    the fused Pallas panel/top-k kernel (ops/knn_pallas.py; measured
+    ~15% faster on v5e at flickr scale) when running on TPU; the XLA
+    panel + full-width top_k path is the default.
+
     Args:
         queries: (Q, D) float array.
         references: (N, D) float array.
@@ -89,6 +95,14 @@ def knn(
         (dists, ids): (Q, k) Euclidean distances (ascending per row) and
         (Q, k) int32 reference indices.
     """
+    if (
+        os.environ.get("MMUMAP_KNN_ENGINE") == "pallas"
+        and jax.default_backend() == "tpu"
+    ):
+        from .knn_pallas import knn_pallas
+
+        return knn_pallas(queries, references, k, exclude_self=exclude_self)
+
     q = queries.astype(jnp.float32)
     r = references.astype(jnp.float32)
     num_q, num_r = q.shape[0], r.shape[0]
