@@ -380,17 +380,24 @@ def train_layout(
     key: jax.Array,
     epoch_chunk: int = 100,
     chunk_callback=None,
+    start_epoch: int = 0,
+    init_opt_state=None,
 ) -> tuple[list[jax.Array], jax.Array]:
     """Runs the full-batch Adam layout optimization.
 
     Epochs are scanned in fixed ``epoch_chunk`` chunks inside one jit:
     any epoch count reuses at most two compiled programs (chunk +
     remainder) instead of one per scan length, and chunk boundaries are
-    host sync points -- ``chunk_callback(epoch_idx, params, losses)``
-    fires there for periodic checkpointing / loss streaming (the
-    preemption-recovery hook, SURVEY.md §5.3).
+    host sync points -- ``chunk_callback(epoch_idx, params, opt_state,
+    losses)`` fires there for periodic checkpointing / loss streaming
+    (the preemption-recovery hook, SURVEY.md §5.3).
 
-    Returns (final embeddings per modality, per-epoch loss history).
+    ``start_epoch``/``init_opt_state`` resume a preempted run: the
+    per-epoch PRNG keys are the tail of the same stream, so a resumed
+    run replays exactly the epochs the original would have run.
+
+    Returns (final embeddings per modality, per-epoch loss history
+    covering epochs [start_epoch, epochs)).
     """
     if mode not in ("fit", "transform", "invert"):
         raise ValueError(f"invalid mode: {mode}")
@@ -407,7 +414,10 @@ def train_layout(
     params = tuple(
         jnp.array(e, dtype=jnp.float32, copy=True) for e in init_embeds
     )
-    opt_state = optimizer.init(params)
+    opt_state = (
+        init_opt_state if init_opt_state is not None
+        else optimizer.init(params)
+    )
     tasks = tuple(tasks)
     ab = (jnp.float32(a), jnp.float32(b))
 
@@ -442,7 +452,7 @@ def train_layout(
 
     epoch_keys = jax.random.split(key, epochs)
     history = []
-    done = 0
+    done = start_epoch
     while done < epochs:
         take = min(epoch_chunk, epochs - done)
         params, opt_state, hist = run_chunk(
@@ -451,7 +461,7 @@ def train_layout(
         done += take
         history.append(hist)
         if chunk_callback is not None:
-            chunk_callback(done, params, hist)
+            chunk_callback(done, params, opt_state, hist)
     full_hist = (
         jnp.concatenate(history) if len(history) > 1 else history[0]
     )

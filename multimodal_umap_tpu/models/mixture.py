@@ -97,6 +97,7 @@ class MultimodalUMAP:
         alpha: float = 0.5,
         batch_size: int = 512,
         progress_path: str | None = None,
+        resume: bool = False,
     ) -> None:
         """Fits the shared latent space to multimodal training data.
 
@@ -107,9 +108,15 @@ class MultimodalUMAP:
             lr: Adam learning rate.
             alpha: InfoNCE weight (effective 2*alpha, SURVEY.md §2.10c).
             batch_size: row-window size for loss averaging.
-            progress_path: if set, the in-progress embeddings are
-                snapshotted there (npz) at every epoch-chunk boundary so
-                a preempted run loses at most one chunk (SURVEY.md §5.3).
+            progress_path: if set, the full optimizer state (embeddings +
+                Adam moments + epoch) is snapshotted there (npz) at every
+                epoch-chunk boundary, so a preempted run loses at most
+                one chunk (SURVEY.md §5.3).
+            resume: with ``progress_path`` pointing at a snapshot,
+                rebuild the (deterministic) graphs and continue the
+                remaining epochs with the exact per-epoch PRNG stream
+                the original run would have used. ``loss_history`` then
+                covers only the resumed epochs.
         """
         self.data = [_as_f32(x) for x in inputs]
         if len(self.data) != self.num_encoders:
@@ -141,13 +148,41 @@ class MultimodalUMAP:
 
         callback = None
         if progress_path is not None:
-            def callback(done, params, hist):
+            def callback(done, params, opt_state, hist):
+                leaves = jax.tree_util.tree_leaves(opt_state)
                 np.savez(
                     progress_path,
                     epoch=done,
                     **{f"embeds_{m}": np.asarray(p)
                        for m, p in enumerate(params)},
+                    **{f"opt_{i}": np.asarray(leaf)
+                       for i, leaf in enumerate(leaves)},
                 )
+
+        start_epoch = 0
+        init_opt_state = None
+        if resume:
+            if progress_path is None:
+                raise ValueError("resume=True requires progress_path")
+            import os
+
+            if os.path.exists(progress_path):
+                import optax
+
+                snap = np.load(progress_path)
+                start_epoch = int(snap["epoch"])
+                inits = [
+                    jnp.asarray(snap[f"embeds_{m}"])
+                    for m in range(self.num_encoders)
+                ]
+                template = optax.adam(lr).init(
+                    tuple(jnp.asarray(e) for e in inits)
+                )
+                leaves, treedef = jax.tree_util.tree_flatten(template)
+                loaded = [
+                    jnp.asarray(snap[f"opt_{i}"]) for i in range(len(leaves))
+                ]
+                init_opt_state = jax.tree_util.tree_unflatten(treedef, loaded)
 
         with self.timer.phase("fit/layout"):
             embeds, hist = train_layout(
@@ -164,6 +199,8 @@ class MultimodalUMAP:
                 b=self.b,
                 key=jax.random.PRNGKey(self.seed),
                 chunk_callback=callback,
+                start_epoch=start_epoch,
+                init_opt_state=init_opt_state,
             )
         self.embeds = embeds
         self.loss_history["fit"] = np.asarray(hist)

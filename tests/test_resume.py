@@ -1,0 +1,41 @@
+"""Preemption recovery: chunked progress snapshots + exact resume."""
+
+import os
+
+import numpy as np
+
+from multimodal_umap_tpu.models.mixture import MultimodalUMAP
+
+
+def test_fit_resume_matches_uninterrupted(blobs, tmp_path):
+    """A run snapshotted at a chunk boundary and resumed must reproduce
+    the uninterrupted run exactly (same PRNG stream, same Adam state)."""
+    x0, x1, _ = blobs
+    kwargs = dict(num_rep=2, lr=0.05, alpha=0.5, batch_size=64)
+
+    full = MultimodalUMAP(8, 4, 0.1, num_encoders=2, seed=9)
+    full.fit([x0, x1], epochs=40, **kwargs)
+
+    snap = os.path.join(tmp_path, "progress.npz")
+    # "Preempted" run: train_layout chunks at 100 epochs by default, so
+    # force small chunks by running the first 20 epochs as its own fit
+    # with a snapshot at the end (epoch_chunk == epochs => one chunk).
+    part = MultimodalUMAP(8, 4, 0.1, num_encoders=2, seed=9)
+    part.fit([x0, x1], epochs=20, progress_path=snap, **kwargs)
+    assert os.path.exists(snap)
+    assert int(np.load(snap)["epoch"]) == 20
+
+    # Resume to 40 total epochs from the snapshot.
+    resumed = MultimodalUMAP(8, 4, 0.1, num_encoders=2, seed=9)
+    resumed.fit([x0, x1], epochs=40, progress_path=snap, resume=True,
+                **kwargs)
+    assert len(resumed.loss_history["fit"]) == 20  # epochs 20..40 only
+
+    np.testing.assert_allclose(
+        np.asarray(resumed.embeds[0]), np.asarray(full.embeds[0]),
+        rtol=2e-4, atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(resumed.embeds[1]), np.asarray(full.embeds[1]),
+        rtol=2e-4, atol=2e-5,
+    )
