@@ -45,9 +45,7 @@ def _laplacian_matvec(graph: EdgeGraph, d_inv_sqrt: jax.Array, x: jax.Array):
 
 
 @functools.partial(jax.jit, static_argnames=("out_dim", "max_iters"))
-def _spectral_lobpcg(
-    graph: EdgeGraph, out_dim: int, max_iters: int = 64, tol: float = 1e-3
-):
+def _spectral_lobpcg(graph: EdgeGraph, out_dim: int, max_iters: int = 64):
     n = graph.num_rows
     d_inv_sqrt = _degrees(graph) ** -0.5
     matvec = functools.partial(_laplacian_matvec, graph, d_inv_sqrt)
@@ -61,9 +59,9 @@ def _spectral_lobpcg(
     # Iteration cap: each LOBPCG iteration runs a small Rayleigh-Ritz
     # eigendecomposition that is disproportionately slow on TPU, and the
     # spectral INIT only has to be low-energy -- the 600-epoch layout
-    # optimization washes out residual inaccuracy (SURVEY.md §7).
-    del tol  # loose tolerances measurably corrupt the subspace; cap
-    # iterations instead and keep machine-precision convergence checks.
+    # optimization washes out residual inaccuracy (SURVEY.md §7). Loose
+    # tolerances were tried and measurably corrupt the subspace; the cap
+    # keeps machine-precision convergence checks.
     theta, vecs, _ = lobpcg_standard(matvec, x0, m=max_iters)
     # Largest of (c*I - L) == smallest of L; lobpcg returns descending
     # theta, i.e. vecs columns are already ordered by ascending L-eigenvalue.
