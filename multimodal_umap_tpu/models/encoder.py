@@ -25,6 +25,7 @@ strict quality upgrade that also guarantees exactly k neighbors per row
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -32,14 +33,28 @@ import jax.numpy as jnp
 from ..ops.graph import (
     DenseSymGraph,
     EdgeGraph,
+    _symmetrize_arrays,
+    _symmetrize_dense_arrays,
     curve_weights,
     embed_query,
     fuzzy_weights,
-    symmetrize,
-    symmetrize_dense,
 )
 from ..ops.knn import knn
 from ..ops.spectral import spectral_embedding
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _fit_graph_compute(features: jax.Array, k: int):
+    """kNN + fuzzy weights + both symmetrizations fused into ONE
+    program: per-op dispatch latency dominates graph-build wall time on
+    a tunneled single-host setup, so the whole deterministic pipeline
+    compiles and runs as a single executable."""
+    dists, nbrs = knn(features, features, k, exclude_self=True)
+    weights, rhos, sigmas = fuzzy_weights(dists)
+    rows, cols, edge_w, edge_valid = _symmetrize_arrays(nbrs, weights)
+    sym_w, bwd_valid = _symmetrize_dense_arrays(nbrs, weights)
+    return (nbrs, weights, rhos, sigmas, rows, cols, edge_w, edge_valid,
+            sym_w, bwd_valid)
 
 
 @dataclasses.dataclass
@@ -67,14 +82,15 @@ class ModalityEncoder:
         """Builds the symmetric fuzzy graph (edge-list view for spectral
         and checkpointing, dense view for the layout engine) and its
         spectral embedding."""
-        dists, nbrs = knn(
-            features, features, self.k_neighbors, exclude_self=True
-        )
-        weights, rhos, sigmas = fuzzy_weights(dists)
+        n = features.shape[0]
+        (nbrs, weights, rhos, sigmas, rows, cols, edge_w, edge_valid,
+         sym_w, bwd_valid) = _fit_graph_compute(features, self.k_neighbors)
         self.sigmas = sigmas
         self.rhos = rhos
-        graph = symmetrize(nbrs, weights)
-        dense = symmetrize_dense(nbrs, weights)
+        graph = EdgeGraph(rows=rows, cols=cols, weights=edge_w,
+                          valid=edge_valid, num_rows=n, num_cols=n)
+        dense = DenseSymGraph(nbrs=nbrs, weights=sym_w,
+                              bwd_valid=bwd_valid, num_rows=n)
         embed = spectral_embedding(graph, self.out_dim)
         return graph, dense, embed
 
