@@ -57,6 +57,32 @@ def _fit_graph_compute(features: jax.Array, k: int):
             sym_w, bwd_valid)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _transform_graph_compute(
+    query: jax.Array, train_features: jax.Array, train_embeds: jax.Array,
+    k: int,
+):
+    """Fused transform-mode graph build (same dispatch-latency rationale
+    as :func:`_fit_graph_compute`)."""
+    dists, nbrs = knn(query, train_features, k)
+    weights, _, _ = fuzzy_weights(dists)
+    init = embed_query(nbrs, weights, train_embeds)
+    return nbrs, weights, init
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _invert_graph_compute(
+    query_embeds: jax.Array, train_embeds: jax.Array, train_data: jax.Array,
+    a: jax.Array, b: jax.Array, k: int,
+):
+    """Fused invert-mode graph build (fixed data-space init semantics,
+    SURVEY.md §2.10a)."""
+    dists, nbrs = knn(query_embeds, train_embeds, k)
+    weights = curve_weights(dists, a, b)
+    init = embed_query(nbrs, weights, train_data)
+    return nbrs, weights, init
+
+
 @dataclasses.dataclass
 class ModalityEncoder:
     """Graph state for one modality.
@@ -101,10 +127,9 @@ class ModalityEncoder:
         train_embeds: jax.Array,
     ) -> tuple[jax.Array, jax.Array, jax.Array]:
         """Query-to-train (nbrs, weights) + weighted-average init."""
-        dists, nbrs = knn(query, train_features, self.k_neighbors)
-        weights, _, _ = fuzzy_weights(dists)
-        init = embed_query(nbrs, weights, train_embeds)
-        return nbrs, weights, init
+        return _transform_graph_compute(
+            query, train_features, train_embeds, self.k_neighbors
+        )
 
     def invert_graph(
         self,
@@ -116,7 +141,7 @@ class ModalityEncoder:
     ) -> tuple[jax.Array, jax.Array, jax.Array]:
         """Latent-space (nbrs, weights) + data-space initialization
         (fixed invert semantics, SURVEY.md §2.10a)."""
-        dists, nbrs = knn(query_embeds, train_embeds, self.k_neighbors)
-        weights = curve_weights(dists, jnp.float32(a), jnp.float32(b))
-        init = embed_query(nbrs, weights, train_data)
-        return nbrs, weights, init
+        return _invert_graph_compute(
+            query_embeds, train_embeds, train_data,
+            jnp.float32(a), jnp.float32(b), self.k_neighbors,
+        )
