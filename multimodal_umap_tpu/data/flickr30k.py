@@ -9,21 +9,34 @@ definitions (SURVEY.md §2.10k):
              sample), flattened (4, 32, 32) -> 4096-d.
 
 The torch models are replaced by their Flax counterparts running as
-jit-batched JAX inference on device; batches shard over the data mesh.
-Features cache to ``data/{split}_data.npz`` (the reference caches to
-``.pt``). In zero-egress environments where the HF hub is unreachable
-and no cache exists, ``load_data`` raises a clear error -- callers fall
-back to :mod:`.synthetic`.
+jit-batched JAX inference on device. Features cache to
+``data/{split}_data.npz`` (the reference caches to ``.pt``). The
+streaming/batching/caching plumbing is encoder-agnostic (tested offline
+with stub encoders); the HF model loading lives in
+:func:`load_hf_encoders`. In zero-egress environments with no cache,
+``load_data`` raises a clear error -- callers fall back to
+:mod:`.synthetic`.
 """
 
 from __future__ import annotations
 
 import os
+import typing
 
 import numpy as np
 
 _CACHE_DIR = "data"
-_PAD_MULTIPLE = 64
+
+
+class Encoders(typing.NamedTuple):
+    """Feature extractors for one multimodal dataset.
+
+    encode_texts: list[str] -> (B, D_text) array.
+    encode_images: (B, H, W, 3) float array in [-1, 1] -> (B, D_img).
+    """
+
+    encode_texts: typing.Callable
+    encode_images: typing.Callable
 
 
 def cache_path(split: str, cache_dir: str = _CACHE_DIR) -> str:
@@ -47,15 +60,21 @@ def _resize_bilinear(img: np.ndarray, size: int) -> np.ndarray:
     )
 
 
-def _extract_features(split: str, batch_size: int = 64) -> dict:
-    """Streams flickr30k and extracts features with Flax BERT + SD-VAE.
+def preprocess_image(img: np.ndarray) -> np.ndarray:
+    """Reference transform chain (impl/dataset.py:35-40): resize to
+    256x256 + normalize(0.5, 0.5). (Resize already lands at the crop
+    size, so center-crop is the identity.)"""
+    img = _resize_bilinear(np.asarray(img, dtype=np.float32), 256) / 255.0
+    return (img - 0.5) / 0.5
 
-    Requires network access to the HF hub (or a warm HF cache). Batches
-    are padded to a fixed multiple so XLA compiles a handful of shapes.
+
+def load_hf_encoders() -> Encoders:
+    """Flax BERT pooler + Flax SD-VAE posterior-mean encoders.
+
+    Requires the HF hub (or a warm local HF cache).
     """
     import jax
     import jax.numpy as jnp
-    from datasets import load_dataset
     from transformers import AutoTokenizer, FlaxBertModel
 
     try:
@@ -74,60 +93,74 @@ def _extract_features(split: str, batch_size: int = 64) -> dict:
     )
 
     @jax.jit
-    def encode_text(input_ids, attention_mask, token_type_ids):
-        out = bert(
+    def bert_forward(input_ids, attention_mask, token_type_ids):
+        return bert(
             input_ids=input_ids,
             attention_mask=attention_mask,
             token_type_ids=token_type_ids,
-        )
-        return out.pooler_output
+        ).pooler_output
 
     @jax.jit
-    def encode_image(pixels):
+    def vae_forward(pixels):
         # Posterior MEAN, matching reference impl/dataset.py:57.
         posterior = vae.apply(
             {"params": vae_params}, pixels, method=vae.encode
         ).latent_dist
         return posterior.mean.reshape(pixels.shape[0], -1)
 
-    stream = load_dataset("AnyModal/flickr30k", split=split, streaming=True)
+    def encode_texts(texts: list[str]) -> np.ndarray:
+        tok = tokenizer(
+            texts, return_tensors="np", padding="max_length",
+            truncation=True, max_length=128,
+        )
+        return np.asarray(bert_forward(
+            tok["input_ids"], tok["attention_mask"], tok["token_type_ids"]
+        ))
+
+    def encode_images(pixels_nhwc: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp2
+
+        nchw = jnp2.asarray(pixels_nhwc.transpose(0, 3, 1, 2))
+        return np.asarray(vae_forward(nchw))
+
+    return Encoders(encode_texts=encode_texts, encode_images=encode_images)
+
+
+def extract_features(
+    samples: typing.Iterable[dict],
+    encoders: Encoders,
+    batch_size: int = 64,
+) -> dict:
+    """Streams samples through the encoders in fixed batches.
+
+    Each sample is a dict with ``alt_text`` (list of captions; only the
+    FIRST is used, reference impl/dataset.py:47) and ``image`` (a PIL
+    image or (H, W, 3) array).
+    """
     texts, images = [], []
-    batch_texts, batch_imgs = [], []
+    batch_texts: list[str] = []
+    batch_imgs: list[np.ndarray] = []
 
     def flush():
         if not batch_texts:
             return
-        n = len(batch_texts)
-        tok = tokenizer(
-            batch_texts,
-            return_tensors="np",
-            padding="max_length",
-            truncation=True,
-            max_length=128,
-        )
-        texts.append(
-            np.asarray(
-                encode_text(
-                    tok["input_ids"], tok["attention_mask"],
-                    tok["token_type_ids"],
-                )
-            )[:n]
-        )
-        pixels = np.stack(batch_imgs).transpose(0, 3, 1, 2)  # NCHW
-        images.append(np.asarray(encode_image(jnp.asarray(pixels)))[:n])
+        texts.append(encoders.encode_texts(list(batch_texts)))
+        images.append(encoders.encode_images(np.stack(batch_imgs)))
         batch_texts.clear()
         batch_imgs.clear()
 
-    for sample in stream:
-        # First caption only (reference impl/dataset.py:47).
+    for sample in samples:
         batch_texts.append(sample["alt_text"][0])
-        img = np.asarray(sample["image"].convert("RGB"), dtype=np.float32)
-        img = _resize_bilinear(img, 256) / 255.0
-        batch_imgs.append((img - 0.5) / 0.5)
+        img = sample["image"]
+        if hasattr(img, "convert"):  # PIL
+            img = np.asarray(img.convert("RGB"))
+        batch_imgs.append(preprocess_image(img))
         if len(batch_texts) == batch_size:
             flush()
     flush()
 
+    if not texts:
+        raise ValueError("no samples to extract features from")
     return {
         "texts": np.concatenate(texts, axis=0),
         "images": np.concatenate(images, axis=0),
@@ -135,7 +168,10 @@ def _extract_features(split: str, batch_size: int = 64) -> dict:
 
 
 def load_data(
-    split: str, cache_dir: str = _CACHE_DIR, batch_size: int = 64
+    split: str,
+    cache_dir: str = _CACHE_DIR,
+    batch_size: int = 64,
+    encoders: Encoders | None = None,
 ) -> dict:
     """Cached flickr30k features (reference impl/dataset.py:9-69).
 
@@ -146,7 +182,13 @@ def load_data(
     if cached is not None:
         return cached
     try:
-        data = _extract_features(split, batch_size=batch_size)
+        from datasets import load_dataset
+
+        stream = load_dataset("AnyModal/flickr30k", split=split,
+                              streaming=True)
+        if encoders is None:
+            encoders = load_hf_encoders()
+        data = extract_features(stream, encoders, batch_size=batch_size)
     except Exception as exc:
         raise RuntimeError(
             f"no cached features at {cache_path(split, cache_dir)} and "
