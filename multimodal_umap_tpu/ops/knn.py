@@ -62,6 +62,35 @@ def _knn_block(
     return jnp.sqrt(jnp.maximum(-neg_d, 0.0)), ids.astype(jnp.int32)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "exclude_self", "recall_target")
+)
+def _knn_approx(
+    queries: jax.Array,
+    references: jax.Array,
+    k: int,
+    exclude_self: bool = False,
+    recall_target: float = 0.99,
+) -> tuple[jax.Array, jax.Array]:
+    q = queries.astype(jnp.float32)
+    r = references.astype(jnp.float32)
+    panel = (
+        jnp.sum(q * q, 1)[:, None]
+        + jnp.sum(r * r, 1)[None, :]
+        - 2.0 * jnp.dot(q, r.T, preferred_element_type=jnp.float32,
+                        precision="highest")
+    )
+    panel = jnp.maximum(panel, 0.0)
+    if exclude_self:
+        n = min(q.shape[0], r.shape[0])
+        idx = jnp.arange(n)
+        panel = panel.at[idx, idx].set(jnp.inf)
+    neg_d, ids = jax.lax.approx_max_k(
+        -panel, k, recall_target=recall_target, aggregate_to_topk=True
+    )
+    return jnp.sqrt(jnp.maximum(-neg_d, 0.0)), ids.astype(jnp.int32)
+
+
 def knn(
     queries: jax.Array,
     references: jax.Array,
@@ -73,10 +102,11 @@ def knn(
 ) -> tuple[jax.Array, jax.Array]:
     """Exact kNN of ``queries`` against ``references``.
 
-    Engine selection: set ``MMUMAP_KNN_ENGINE=pallas`` to route through
-    the fused Pallas panel/top-k kernel (ops/knn_pallas.py; measured
-    ~15% faster on v5e at flickr scale) when running on TPU; the XLA
-    panel + full-width top_k path is the default.
+    Engine selection via ``MMUMAP_KNN_ENGINE``:
+      * unset/"xla" (default) -- exact: blocked panels + full-width top_k;
+      * "pallas" (TPU only) -- exact: fused Pallas panel/top-k kernel
+        (ops/knn_pallas.py; measured ~15% faster on v5e at flickr scale);
+      * "approx" -- lax.approx_max_k (TPU PartialReduce), recall ~0.99+.
 
     Args:
         queries: (Q, D) float array.
@@ -95,13 +125,19 @@ def knn(
         (dists, ids): (Q, k) Euclidean distances (ascending per row) and
         (Q, k) int32 reference indices.
     """
-    if (
-        os.environ.get("MMUMAP_KNN_ENGINE") == "pallas"
-        and jax.default_backend() == "tpu"
-    ):
+    engine = os.environ.get("MMUMAP_KNN_ENGINE", "xla")
+    if engine == "pallas" and jax.default_backend() == "tpu":
         from .knn_pallas import knn_pallas
 
         return knn_pallas(queries, references, k, exclude_self=exclude_self)
+    if engine == "approx":
+        # TPU-KNN-style approximate selection (lax.approx_max_k /
+        # PartialReduce): linear-time in the column width, measured
+        # recall ~1.0 at flickr scale with recall_target=0.99. Useful
+        # headroom beyond ~100k points where exact full-width top_k
+        # starts to dominate; the graph quality gate stays statistical
+        # (the reference's own NN-descent is approximate, SURVEY §2.10i).
+        return _knn_approx(queries, references, k, exclude_self=exclude_self)
 
     q = queries.astype(jnp.float32)
     r = references.astype(jnp.float32)

@@ -47,3 +47,17 @@ def test_knn_sorted_ascending(rng):
     d, _ = knn(jnp.asarray(x), jnp.asarray(x), 6, exclude_self=True)
     d = np.asarray(d)
     assert np.all(np.diff(d, axis=1) >= -1e-6)
+
+
+def test_knn_approx_engine_recall(rng, monkeypatch):
+    """MMUMAP_KNN_ENGINE=approx: high recall vs the exact engine."""
+    monkeypatch.setenv("MMUMAP_KNN_ENGINE", "approx")
+    x = rng.normal(size=(300, 12)).astype(np.float32)
+    d_a, i_a = knn(jnp.asarray(x), jnp.asarray(x), 8, exclude_self=True)
+    monkeypatch.delenv("MMUMAP_KNN_ENGINE")
+    d_e, i_e = knn(jnp.asarray(x), jnp.asarray(x), 8, exclude_self=True)
+    recall = float(np.mean(
+        np.sort(np.asarray(i_a), 1) == np.sort(np.asarray(i_e), 1)
+    ))
+    assert recall > 0.9, recall
+    assert np.all(np.asarray(i_a) != np.arange(300)[:, None])
