@@ -22,12 +22,16 @@ from ..ops.graph import EdgeGraph
 _SCHEMA_VERSION = 1
 
 
-def save_state(path: str, state: dict) -> None:
+def save_state(path: str, state: dict, compress: bool = False) -> None:
     """Serializes a mixture-model state dict to ``path`` (npz).
 
     Expected keys: k_neighbors, out_dim, min_dist, num_encoders, a, b,
     sigmas (list), rhos (list), data (list), graphs (list[EdgeGraph]),
     embeds (list).
+
+    ``compress`` defaults to False: the state includes the raw feature
+    matrices (hundreds of MB at flickr scale) and zlib on this class of
+    single-vCPU host costs far more than the disk it saves.
     """
     meta = {
         "schema": _SCHEMA_VERSION,
@@ -57,7 +61,8 @@ def save_state(path: str, state: dict) -> None:
     if dirname:
         os.makedirs(dirname, exist_ok=True)
     buf = io.BytesIO()
-    np.savez_compressed(buf, meta=json.dumps(meta), **arrays)
+    saver = np.savez_compressed if compress else np.savez
+    saver(buf, meta=json.dumps(meta), **arrays)
     with open(path, "wb") as f:
         f.write(buf.getvalue())
 
