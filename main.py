@@ -115,7 +115,7 @@ def main() -> None:
     if args.load_pretrained == "yes":
         model = MultimodalUMAP.load_state_dict(args.save_path)
     else:
-        model = train(train_split, cfg, mesh=mesh)
+        model = train(train_split, cfg, mesh=mesh, verbose=True)
         write_loss_log(cfg.log_dir, "fit", model.loss_history["fit"])
 
     if args.save_path is not None:

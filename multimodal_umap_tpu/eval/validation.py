@@ -25,7 +25,8 @@ from ..models.mixture import MultimodalUMAP
 from ..ops.knn import knn
 
 
-def train(data: dict, cfg: Config, mesh=None) -> MultimodalUMAP:
+def train(data: dict, cfg: Config, mesh=None,
+          verbose: bool = False) -> MultimodalUMAP:
     """Trains a multimodal UMAP model on a data dict
     (reference impl/util.py:33-61)."""
     tensors = [data[key] for key in data]
@@ -44,6 +45,7 @@ def train(data: dict, cfg: Config, mesh=None) -> MultimodalUMAP:
         lr=cfg.lr,
         alpha=cfg.alpha,
         batch_size=cfg.batch_size,
+        verbose=verbose,
     )
     return model
 

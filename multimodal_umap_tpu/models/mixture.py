@@ -98,6 +98,7 @@ class MultimodalUMAP:
         batch_size: int = 512,
         progress_path: str | None = None,
         resume: bool = False,
+        verbose: bool = False,
     ) -> None:
         """Fits the shared latent space to multimodal training data.
 
@@ -117,6 +118,8 @@ class MultimodalUMAP:
                 remaining epochs with the exact per-epoch PRNG stream
                 the original run would have used. ``loss_history`` then
                 covers only the resumed epochs.
+            verbose: print the loss at every epoch-chunk boundary (the
+                reference's tqdm loss readout, SURVEY.md §5.5).
         """
         self.data = [_as_f32(x) for x in inputs]
         if len(self.data) != self.num_encoders:
@@ -147,17 +150,21 @@ class MultimodalUMAP:
             )
 
         callback = None
-        if progress_path is not None:
+        if progress_path is not None or verbose:
             def callback(done, params, opt_state, hist):
-                leaves = jax.tree_util.tree_leaves(opt_state)
-                np.savez(
-                    progress_path,
-                    epoch=done,
-                    **{f"embeds_{m}": np.asarray(p)
-                       for m, p in enumerate(params)},
-                    **{f"opt_{i}": np.asarray(leaf)
-                       for i, leaf in enumerate(leaves)},
-                )
+                if verbose:
+                    print(f"epoch {done}/{epochs}  "
+                          f"loss {float(hist[-1]):.4f}", flush=True)
+                if progress_path is not None:
+                    leaves = jax.tree_util.tree_leaves(opt_state)
+                    np.savez(
+                        progress_path,
+                        epoch=done,
+                        **{f"embeds_{m}": np.asarray(p)
+                           for m, p in enumerate(params)},
+                        **{f"opt_{i}": np.asarray(leaf)
+                           for i, leaf in enumerate(leaves)},
+                    )
 
         start_epoch = 0
         init_opt_state = None
