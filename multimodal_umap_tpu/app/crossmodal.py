@@ -90,15 +90,20 @@ def crossmodal_recon(
     if recon_imgs is not None and orig_imgs is not None:
         _save_pairs(orig_imgs, recon_imgs, out_dir)
     else:
-        # Offline: persist latents and a channel-0 heat-map comparison.
+        # Offline: persist latents and a channel-0 heat-map comparison
+        # (min-max normalized per image for display).
         np.savez(
             os.path.join(out_dir, "recon_latents.npz"),
             recon=recon_latent,
             original=orig_latent,
         )
-        _save_pairs(
-            orig_latent[:, 0, :, :, None].repeat(3, axis=-1) * 0.5 + 0.5,
-            recon_latent[:, 0, :, :, None].repeat(3, axis=-1) * 0.5 + 0.5,
-            out_dir,
-        )
+
+        def to_gray(lat):
+            ch = lat[:, 0, :, :]
+            lo = ch.min(axis=(1, 2), keepdims=True)
+            hi = ch.max(axis=(1, 2), keepdims=True)
+            ch = (ch - lo) / np.maximum(hi - lo, 1e-6)
+            return ch[..., None].repeat(3, axis=-1)
+
+        _save_pairs(to_gray(orig_latent), to_gray(recon_latent), out_dir)
     return [recon]
