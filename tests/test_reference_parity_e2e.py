@@ -1,12 +1,14 @@
 """End-to-end quality parity vs the executed reference.
 
 tools/gen_e2e_goldens.py ran the torch reference (with the intended
-invert semantics patched in, SURVEY.md §2.10a) on a fixed small
-synthetic dataset and recorded its evaluation metrics. This test runs
-OUR pipeline on the identical data and configuration and requires
+invert semantics patched in, SURVEY.md §2.10a) on fixed small synthetic
+datasets and recorded its evaluation metrics. These tests run OUR
+pipeline on the identical data and configuration and require
 match-or-beat within statistical bands (both pipelines are randomized;
-SURVEY.md §4: parity is statistical, not bitwise)."""
+SURVEY.md §4: parity is statistical, not bitwise). Two independent
+golden configurations guard against band-fitting to one dataset."""
 
+import glob
 import json
 import os
 
@@ -16,18 +18,12 @@ import pytest
 from multimodal_umap_tpu.data.synthetic import clustered_modalities
 from multimodal_umap_tpu.models.mixture import MultimodalUMAP
 
-GOLDEN = os.path.join(os.path.dirname(__file__), "goldens",
-                      "reference_e2e.json")
+GOLDEN_FILES = sorted(glob.glob(
+    os.path.join(os.path.dirname(__file__), "goldens", "reference_e2e*.json")
+))
 
 
-@pytest.fixture(scope="module")
-def golden():
-    with open(GOLDEN) as f:
-        return json.load(f)
-
-
-@pytest.fixture(scope="module")
-def results(golden):
+def _run_pipeline(golden):
     cfg = golden["config"]
     data = clustered_modalities(
         cfg["n_train"] + cfg["n_test"], dims=tuple(cfg["dims"]),
@@ -69,16 +65,27 @@ def results(golden):
     return {"cosine": cosine, "knn5": float(knn5), "recon_mse": mse}
 
 
-def test_cosine_parity(results, golden):
+@pytest.fixture(scope="module", params=GOLDEN_FILES,
+                ids=[os.path.basename(p) for p in GOLDEN_FILES])
+def case(request):
+    with open(request.param) as f:
+        golden = json.load(f)
+    return golden, _run_pipeline(golden)
+
+
+def test_cosine_parity(case):
+    golden, results = case
     ref = golden["reference"]["cosine"]
     assert results["cosine"] >= ref - 0.10, (results, ref)
 
 
-def test_knn_retrieval_parity(results, golden):
+def test_knn_retrieval_parity(case):
+    golden, results = case
     ref = golden["reference"]["knn5"]
     assert results["knn5"] >= 0.7 * ref, (results, ref)
 
 
-def test_recon_mse_parity(results, golden):
+def test_recon_mse_parity(case):
+    golden, results = case
     ref = golden["reference"]["recon_mse"]
     assert results["recon_mse"] <= 1.3 * ref, (results, ref)

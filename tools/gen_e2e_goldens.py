@@ -23,16 +23,30 @@ from impl.model import UMAPMixture  # noqa: E402
 
 from multimodal_umap_tpu.data.synthetic import clustered_modalities  # noqa: E402
 
-OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens",
-                   "reference_e2e.json")
+import argparse
 
-N_TRAIN, N_TEST, K, OUT_DIM = 256, 64, 8, 8
-EPOCHS, TEST_EPOCHS = 200, 60
+_p = argparse.ArgumentParser()
+_p.add_argument("--variant", default="a", choices=["a", "b"])
+_args = _p.parse_args()
+
+if _args.variant == "a":
+    OUT_NAME = "reference_e2e.json"
+    N_TRAIN, N_TEST, K, OUT_DIM = 256, 64, 8, 8
+    EPOCHS, TEST_EPOCHS = 200, 60
+    DIMS, N_CLUSTERS, SEED = (24, 40), 8, 11
+else:
+    OUT_NAME = "reference_e2e_b.json"
+    N_TRAIN, N_TEST, K, OUT_DIM = 320, 80, 10, 6
+    EPOCHS, TEST_EPOCHS = 150, 50
+    DIMS, N_CLUSTERS, SEED = (32, 16), 5, 23
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens",
+                   OUT_NAME)
 
 
 def main():
     rng_data = clustered_modalities(
-        N_TRAIN + N_TEST, dims=(24, 40), n_clusters=8, seed=11
+        N_TRAIN + N_TEST, dims=DIMS, n_clusters=N_CLUSTERS, seed=SEED
     )
     x0 = torch.tensor(rng_data["texts"])
     x1 = torch.tensor(rng_data["images"])
@@ -98,8 +112,8 @@ def main():
     golden = {
         "config": {"n_train": N_TRAIN, "n_test": N_TEST, "k": K,
                    "out_dim": OUT_DIM, "epochs": EPOCHS,
-                   "test_epochs": TEST_EPOCHS, "dims": [24, 40],
-                   "n_clusters": 8, "seed": 11},
+                   "test_epochs": TEST_EPOCHS, "dims": list(DIMS),
+                   "n_clusters": N_CLUSTERS, "seed": SEED},
         "reference": {"cosine": cosine, "knn5": knn5, "recon_mse": mse,
                       "recon_mse_shuffled": shuffled,
                       "fit_seconds_cpu": fit_s},
