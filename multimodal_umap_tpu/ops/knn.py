@@ -17,7 +17,10 @@ deliberately rejected.
 
 Distances are Euclidean (not squared), matching the reference's
 ``LA.vector_norm`` convention (impl/model.py:109) which feeds the
-sigma/rho solver.
+sigma/rho solver. Numerical note: the ``|x|^2+|y|^2-2xy`` form cancels
+catastrophically for (near-)duplicate rows, leaving an O(eps*|x|^2)
+residue instead of exact zero -- selection order is unaffected and the
+downstream sigma/weight guards absorb it (tests/test_duplicates.py).
 """
 
 from __future__ import annotations
