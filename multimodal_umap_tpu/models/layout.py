@@ -462,6 +462,11 @@ def train_layout(
         history.append(hist)
         if chunk_callback is not None:
             chunk_callback(done, params, opt_state, hist)
+    if not history:
+        # start_epoch >= epochs: a snapshot already recorded the final
+        # epoch (the callback fires at done == epochs); return the
+        # loaded params untouched with an empty loss history.
+        return list(params), jnp.zeros((0,), dtype=jnp.float32)
     full_hist = (
         jnp.concatenate(history) if len(history) > 1 else history[0]
     )

@@ -126,6 +126,10 @@ class MultimodalUMAP:
             raise ValueError(
                 f"expected {self.num_encoders} modalities, got {len(self.data)}"
             )
+        if progress_path is not None and not progress_path.endswith(".npz"):
+            # np.savez appends '.npz' when missing; normalize once so the
+            # resume existence check and the save always agree on a path.
+            progress_path = progress_path + ".npz"
         plan = self._plan()
         if plan is not None:
             # Rows shard across the mesh; the kNN panel scan then runs
@@ -182,12 +186,25 @@ class MultimodalUMAP:
                     jnp.asarray(snap[f"embeds_{m}"])
                     for m in range(self.num_encoders)
                 ]
-                template = optax.adam(lr).init(
-                    tuple(jnp.asarray(e) for e in inits)
-                )
+                if plan is not None:
+                    # Re-apply the data-parallel row sharding: snapshot
+                    # arrays are plain host arrays, and train_layout only
+                    # pins params that already carry a NamedSharding.
+                    # Adam moments shard like their params; the scalar
+                    # step count replicates over the same mesh.
+                    inits = [plan.rows(e) for e in inits]
+
+                    def _place(x):
+                        return plan.rows(x) if x.ndim == 2 \
+                            else plan.replicated(x)
+                else:
+                    def _place(x):
+                        return x
+                template = optax.adam(lr).init(tuple(inits))
                 leaves, treedef = jax.tree_util.tree_flatten(template)
                 loaded = [
-                    jnp.asarray(snap[f"opt_{i}"]) for i in range(len(leaves))
+                    _place(jnp.asarray(snap[f"opt_{i}"]))
+                    for i in range(len(leaves))
                 ]
                 init_opt_state = jax.tree_util.tree_unflatten(treedef, loaded)
 

@@ -68,26 +68,32 @@ def _knn_block(
 @functools.partial(
     jax.jit, static_argnames=("k", "exclude_self", "recall_target")
 )
-def _knn_approx(
-    queries: jax.Array,
+def _knn_approx_block(
+    q_block: jax.Array,
     references: jax.Array,
+    r_sq: jax.Array,
+    row_offset: jax.Array,
     k: int,
-    exclude_self: bool = False,
+    exclude_self: bool,
     recall_target: float = 0.99,
 ) -> tuple[jax.Array, jax.Array]:
-    q = queries.astype(jnp.float32)
-    r = references.astype(jnp.float32)
-    panel = (
-        jnp.sum(q * q, 1)[:, None]
-        + jnp.sum(r * r, 1)[None, :]
-        - 2.0 * jnp.dot(q, r.T, preferred_element_type=jnp.float32,
-                        precision="highest")
+    """One row block, approximate selection (lax.approx_max_k /
+    PartialReduce).  Row-blocked exactly like ``_knn_block`` so peak
+    memory stays ``row_block * N`` -- the engine exists for
+    beyond-flickr scale, where a one-shot (Q, N) panel would OOM first.
+    """
+    q_sq = jnp.sum(q_block * q_block, axis=1, keepdims=True)
+    panel = q_sq + r_sq[None, :] - 2.0 * jnp.dot(
+        q_block, references.T,
+        preferred_element_type=jnp.float32,
+        precision="highest",
     )
     panel = jnp.maximum(panel, 0.0)
     if exclude_self:
-        n = min(q.shape[0], r.shape[0])
-        idx = jnp.arange(n)
-        panel = panel.at[idx, idx].set(jnp.inf)
+        local_rows = jnp.arange(q_block.shape[0], dtype=jnp.int32)
+        global_rows = (row_offset + local_rows)[:, None]
+        cols = jnp.arange(references.shape[0], dtype=jnp.int32)[None, :]
+        panel = jnp.where(cols == global_rows, _INF, panel)
     neg_d, ids = jax.lax.approx_max_k(
         -panel, k, recall_target=recall_target, aggregate_to_topk=True
     )
@@ -133,6 +139,7 @@ def knn(
         from .knn_pallas import knn_pallas
 
         return knn_pallas(queries, references, k, exclude_self=exclude_self)
+
     if engine == "approx":
         # TPU-KNN-style approximate selection (lax.approx_max_k /
         # PartialReduce): linear-time in the column width, measured
@@ -140,7 +147,14 @@ def knn(
         # headroom beyond ~100k points where exact full-width top_k
         # starts to dominate; the graph quality gate stays statistical
         # (the reference's own NN-descent is approximate, SURVEY §2.10i).
-        return _knn_approx(queries, references, k, exclude_self=exclude_self)
+        def block_fn(q_blk, r, r_sq, off):
+            return _knn_approx_block(q_blk, r, r_sq, off, k, exclude_self)
+    else:
+        def block_fn(q_blk, r, r_sq, off):
+            return _knn_block(
+                q_blk, r, r_sq, off, jnp.int32(queries.shape[0]), k,
+                exclude_self, precision,
+            )
 
     q = queries.astype(jnp.float32)
     r = references.astype(jnp.float32)
@@ -151,11 +165,7 @@ def knn(
     r_sq = jnp.sum(r * r, axis=1)
 
     if num_q <= row_block:
-        d, i = _knn_block(
-            q, r, r_sq, jnp.int32(0), jnp.int32(num_q), k, exclude_self,
-            precision,
-        )
-        return d, i
+        return block_fn(q, r, r_sq, jnp.int32(0))
 
     # Pad Q to a block multiple; every block hits the same compiled fn.
     num_blocks = -(-num_q // row_block)
@@ -164,15 +174,11 @@ def knn(
         q = jnp.pad(q, ((0, padded_q - num_q), (0, 0)))
     d_parts, i_parts = [], []
     for b in range(num_blocks):
-        d, i = _knn_block(
+        d, i = block_fn(
             jax.lax.dynamic_slice_in_dim(q, b * row_block, row_block),
             r,
             r_sq,
             jnp.int32(b * row_block),
-            jnp.int32(num_q),
-            k,
-            exclude_self,
-            precision,
         )
         d_parts.append(d)
         i_parts.append(i)

@@ -61,3 +61,18 @@ def test_knn_approx_engine_recall(rng, monkeypatch):
     ))
     assert recall > 0.9, recall
     assert np.all(np.asarray(i_a) != np.arange(300)[:, None])
+
+
+def test_knn_approx_engine_row_blocked(rng, monkeypatch):
+    """The approx engine must honor row blocking (ADVICE: a one-shot
+    (Q, N) panel OOMs at the scale the engine exists for)."""
+    monkeypatch.setenv("MMUMAP_KNN_ENGINE", "approx")
+    x = rng.normal(size=(260, 10)).astype(np.float32)
+    d_blk, i_blk = knn(jnp.asarray(x), jnp.asarray(x), 6,
+                       exclude_self=True, row_block=64)
+    d_one, i_one = knn(jnp.asarray(x), jnp.asarray(x), 6,
+                       exclude_self=True, row_block=4096)
+    np.testing.assert_allclose(np.asarray(d_blk), np.asarray(d_one),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i_blk), np.asarray(i_one))
+    assert np.all(np.asarray(i_blk) != np.arange(260)[:, None])

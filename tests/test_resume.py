@@ -39,3 +39,51 @@ def test_fit_resume_matches_uninterrupted(blobs, tmp_path):
         np.asarray(resumed.embeds[1]), np.asarray(full.embeds[1]),
         rtol=2e-4, atol=2e-5,
     )
+
+
+def test_resume_at_final_epoch_returns_snapshot(blobs, tmp_path):
+    """Resuming a snapshot that already recorded the final epoch must
+    return the snapshotted embeddings with an empty loss history, not
+    crash (ADVICE: history[0] IndexError when start_epoch >= epochs)."""
+    x0, x1, _ = blobs
+    kwargs = dict(num_rep=2, lr=0.05, alpha=0.5, batch_size=64)
+    snap = os.path.join(tmp_path, "final.npz")
+
+    done = MultimodalUMAP(8, 4, 0.1, num_encoders=2, seed=3)
+    done.fit([x0, x1], epochs=20, progress_path=snap, **kwargs)
+    assert int(np.load(snap)["epoch"]) == 20
+
+    resumed = MultimodalUMAP(8, 4, 0.1, num_encoders=2, seed=3)
+    resumed.fit([x0, x1], epochs=20, progress_path=snap, resume=True,
+                **kwargs)
+    assert len(resumed.loss_history["fit"]) == 0
+    np.testing.assert_allclose(
+        np.asarray(resumed.embeds[0]), np.asarray(done.embeds[0]),
+        rtol=1e-6,
+    )
+
+
+def test_progress_path_without_npz_extension(blobs, tmp_path):
+    """np.savez appends '.npz'; save and resume must agree on the path
+    (ADVICE: a snapshot at 'snap' landed at 'snap.npz' and resume
+    silently restarted from epoch 0)."""
+    x0, x1, _ = blobs
+    kwargs = dict(num_rep=2, lr=0.05, alpha=0.5, batch_size=64)
+    snap = os.path.join(tmp_path, "snap")  # no extension
+
+    part = MultimodalUMAP(8, 4, 0.1, num_encoders=2, seed=5)
+    part.fit([x0, x1], epochs=20, progress_path=snap, **kwargs)
+    assert os.path.exists(snap + ".npz")
+
+    resumed = MultimodalUMAP(8, 4, 0.1, num_encoders=2, seed=5)
+    resumed.fit([x0, x1], epochs=40, progress_path=snap, resume=True,
+                **kwargs)
+    # Resume actually found the snapshot: only epochs 20..40 recorded.
+    assert len(resumed.loss_history["fit"]) == 20
+
+    full = MultimodalUMAP(8, 4, 0.1, num_encoders=2, seed=5)
+    full.fit([x0, x1], epochs=40, **kwargs)
+    np.testing.assert_allclose(
+        np.asarray(resumed.embeds[0]), np.asarray(full.embeds[0]),
+        rtol=2e-4, atol=2e-5,
+    )

@@ -157,3 +157,31 @@ def test_sharded_transform_and_invert(blobs):
                                     num_rep=2, lr=0.05, batch_size=64)
     assert np.asarray(recon[0]).shape == (32, x0.shape[1])
     assert np.all(np.isfinite(np.asarray(recon[0])))
+
+
+def test_resume_with_mesh_keeps_row_sharding(blobs, tmp_path):
+    """Snapshot-resumed embeddings must be re-sharded over the mesh
+    (ADVICE: plain loaded arrays skipped train_layout's sharding pin,
+    silently dropping data parallelism on resume)."""
+    import os
+
+    x0, x1, _ = blobs
+    kwargs = dict(num_rep=2, lr=0.05, alpha=0.5, batch_size=64)
+    snap = os.path.join(tmp_path, "mesh_snap.npz")
+    mesh = create_mesh()
+
+    part = MultimodalUMAP(8, 4, 0.1, num_encoders=2, seed=7, mesh=mesh)
+    part.fit([x0, x1], epochs=20, progress_path=snap, **kwargs)
+
+    resumed = MultimodalUMAP(8, 4, 0.1, num_encoders=2, seed=7, mesh=mesh)
+    resumed.fit([x0, x1], epochs=40, progress_path=snap, resume=True,
+                **kwargs)
+    assert not resumed.embeds[0].sharding.is_fully_replicated
+    assert len(resumed.embeds[0].addressable_shards) == 8
+
+    full = MultimodalUMAP(8, 4, 0.1, num_encoders=2, seed=7, mesh=mesh)
+    full.fit([x0, x1], epochs=40, **kwargs)
+    np.testing.assert_allclose(
+        np.asarray(resumed.embeds[0]), np.asarray(full.embeds[0]),
+        rtol=2e-4, atol=2e-5,
+    )
