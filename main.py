@@ -122,6 +122,8 @@ def main() -> None:
         model.save_state_dict(args.save_path)
 
     sim = similarity_test(test_split, cfg, model=model, return_values=True)
+    write_loss_log(cfg.log_dir, "transform",
+                   model.loss_history.get("transform", []))
     acc = knn_test(test_split, cfg, k=args.k_test, model=model,
                    return_values=True)
     if cfg.log_dir is not None:
@@ -139,6 +141,8 @@ def main() -> None:
         indices = rng.permutation(test_split[keys[0]].shape[0])[:16]
         samples = [np.asarray(test_split[k])[indices] for k in keys]
         crossmodal_recon(samples, cfg, model=model)
+        write_loss_log(cfg.log_dir, "invert",
+                       model.loss_history.get("invert", []))
 
 
 if __name__ == "__main__":

@@ -21,23 +21,25 @@ from ..eval.validation import embed_and_recon
 from ..models.mixture import MultimodalUMAP
 
 
-def _decode_with_vae(latents: np.ndarray) -> np.ndarray | None:
-    """(B, 4, 32, 32) SD-VAE latents -> (B, 256, 256, 3) images in [0,1],
-    or None when the VAE is unavailable (offline)."""
-    try:
-        import jax.numpy as jnp
-        from diffusers import FlaxAutoencoderKL
+def _decode_with_vae(latents: np.ndarray, vae=None) -> np.ndarray | None:
+    """(B, 4, h, w) SD-VAE latents -> (B, H, W, 3) images in [0, 1],
+    or None when no VAE is available (offline, no cached weights).
 
-        vae, params = FlaxAutoencoderKL.from_pretrained(
-            "stabilityai/sd-vae-ft-mse", dtype=jnp.float32, from_pt=True
-        )
-        out = vae.apply(
-            {"params": params}, jnp.asarray(latents), method=vae.decode
-        ).sample
-        imgs = np.asarray(out).transpose(0, 2, 3, 1)
-        return np.clip(imgs / 2.0 + 0.5, 0.0, 1.0)
-    except Exception:
-        return None
+    ``vae`` is a :class:`multimodal_umap_tpu.nn.vae.LoadedVAE`; when
+    None the default checkpoint is resolved (local dir / MMUMAP_VAE_DIR
+    / hub). Decode errors with a *loaded* VAE propagate -- only the
+    can't-load-weights case falls back to the offline path."""
+    if vae is None:
+        try:
+            from ..data.flickr30k import resolve_vae_dir
+            from ..nn.vae import load_vae
+
+            vae = load_vae(resolve_vae_dir())
+        except Exception:
+            return None
+    out = np.asarray(vae.decode(np.asarray(latents)))
+    imgs = out.transpose(0, 2, 3, 1)
+    return np.clip(imgs / 2.0 + 0.5, 0.0, 1.0)
 
 
 def _save_pairs(orig: np.ndarray, recon: np.ndarray, out_dir: str) -> None:
@@ -62,6 +64,7 @@ def crossmodal_recon(
     model: MultimodalUMAP,
     out_dir: str = "results",
     latent_shape: tuple[int, int, int] = (4, 32, 32),
+    vae=None,
 ) -> list:
     """Text->image reconstruction with on-disk visual comparison.
 
@@ -71,6 +74,9 @@ def crossmodal_recon(
         model: fitted model.
         out_dir: directory for PNG pairs / latent dumps.
         latent_shape: VAE latent geometry (reference crossmodal.py:30).
+        vae: optional pre-loaded :class:`..nn.vae.LoadedVAE`; when None
+            the default checkpoint is resolved (offline fallback saves
+            latents instead).
 
     Returns:
         [reconstructed latents (B, D_image)].
@@ -85,8 +91,10 @@ def crossmodal_recon(
     recon_latent = recon.reshape(-1, *latent_shape)
     orig_latent = target.reshape(-1, *latent_shape)
 
-    recon_imgs = _decode_with_vae(recon_latent)
-    orig_imgs = _decode_with_vae(orig_latent) if recon_imgs is not None else None
+    recon_imgs = _decode_with_vae(recon_latent, vae)
+    orig_imgs = (
+        _decode_with_vae(orig_latent, vae) if recon_imgs is not None else None
+    )
     if recon_imgs is not None and orig_imgs is not None:
         _save_pairs(orig_imgs, recon_imgs, out_dir)
     else:

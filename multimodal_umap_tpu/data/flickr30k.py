@@ -52,11 +52,22 @@ def load_cached(split: str, cache_dir: str = _CACHE_DIR) -> dict | None:
 
 
 def _resize_bilinear(img: np.ndarray, size: int) -> np.ndarray:
-    """Minimal bilinear resize (H, W, C) -> (size, size, C) via jax."""
+    """Antialiased bilinear resize (H, W, C) -> (size, size, C).
+
+    ``antialias=True`` (explicit) scales the triangle filter's support
+    by the downscale ratio, matching PIL/torchvision semantics --
+    ``torchvision.transforms.Resize`` on a PIL image delegates to
+    ``PIL.Image.resize(..., BILINEAR)``, which always antialiases on
+    downscale (reference impl/dataset.py:35-40). Golden-tested against
+    PIL to within uint8 quantization (tests/test_image_resize.py).
+    """
     import jax.image
 
     return np.asarray(
-        jax.image.resize(img, (size, size, img.shape[2]), method="bilinear")
+        jax.image.resize(
+            img, (size, size, img.shape[2]), method="bilinear",
+            antialias=True,
+        )
     )
 
 
@@ -68,29 +79,60 @@ def preprocess_image(img: np.ndarray) -> np.ndarray:
     return (img - 0.5) / 0.5
 
 
-def load_hf_encoders() -> Encoders:
-    """Flax BERT pooler + Flax SD-VAE posterior-mean encoders.
+_BERT_NAME = "google-bert/bert-base-uncased"
+_VAE_NAME = "stabilityai/sd-vae-ft-mse"
 
-    Requires the HF hub (or a warm local HF cache).
+
+def resolve_vae_dir(name_or_dir: str = _VAE_NAME) -> str:
+    """Resolves a VAE checkpoint location to a local directory.
+
+    Checks (in order): an existing local directory, the
+    ``MMUMAP_VAE_DIR`` env override, then ``huggingface_hub`` download
+    (reference impl/dataset.py:41 pulls the same repo via diffusers).
+    """
+    override = os.environ.get("MMUMAP_VAE_DIR")
+    if override:
+        return override
+    if os.path.isdir(name_or_dir):
+        return name_or_dir
+    from huggingface_hub import snapshot_download
+
+    return snapshot_download(
+        name_or_dir,
+        allow_patterns=[
+            "config.json",
+            "diffusion_pytorch_model.safetensors",
+            "diffusion_pytorch_model.bin",
+        ],
+    )
+
+
+def load_hf_encoders(
+    bert_name: str = _BERT_NAME, vae_name: str = _VAE_NAME
+) -> Encoders:
+    """Flax BERT pooler + native Flax SD-VAE posterior-mean encoders.
+
+    The VAE runs on the package's own Flax AutoencoderKL
+    (multimodal_umap_tpu/nn/vae.py; torch-checkpoint weights converted
+    directly -- no diffusers dependency). Requires the HF hub or warm
+    local checkpoints (``MMUMAP_VAE_DIR`` / local paths accepted).
     """
     import jax
     import jax.numpy as jnp
     from transformers import AutoTokenizer, FlaxBertModel
 
-    try:
-        from diffusers import FlaxAutoencoderKL
-    except ImportError as exc:  # pragma: no cover
-        raise RuntimeError(
-            "diffusers with Flax support is required for image features"
-        ) from exc
+    from ..nn.vae import load_vae
 
-    tokenizer = AutoTokenizer.from_pretrained("google-bert/bert-base-uncased")
-    bert = FlaxBertModel.from_pretrained(
-        "google-bert/bert-base-uncased", dtype=jnp.float32
-    )
-    vae, vae_params = FlaxAutoencoderKL.from_pretrained(
-        "stabilityai/sd-vae-ft-mse", dtype=jnp.float32, from_pt=True
-    )
+    tokenizer = AutoTokenizer.from_pretrained(bert_name)
+    try:
+        bert = FlaxBertModel.from_pretrained(bert_name, dtype=jnp.float32)
+    except (OSError, EnvironmentError):
+        # torch-only checkpoint: convert (parity proven in
+        # tests/test_flax_torch_parity.py::test_bert_pooler_parity).
+        bert = FlaxBertModel.from_pretrained(
+            bert_name, dtype=jnp.float32, from_pt=True
+        )
+    vae = load_vae(resolve_vae_dir(vae_name))
 
     @jax.jit
     def bert_forward(input_ids, attention_mask, token_type_ids):
@@ -100,15 +142,10 @@ def load_hf_encoders() -> Encoders:
             token_type_ids=token_type_ids,
         ).pooler_output
 
-    @jax.jit
-    def vae_forward(pixels):
-        # Posterior MEAN, matching reference impl/dataset.py:57.
-        posterior = vae.apply(
-            {"params": vae_params}, pixels, method=vae.encode
-        ).latent_dist
-        return posterior.mean.reshape(pixels.shape[0], -1)
-
     def encode_texts(texts: list[str]) -> np.ndarray:
+        # Fixed-length padding: every batch hits one compiled program
+        # (the reference pads per batch, impl/dataset.py:50; the pooler
+        # output is mask-invariant so features agree).
         tok = tokenizer(
             texts, return_tensors="np", padding="max_length",
             truncation=True, max_length=128,
@@ -118,10 +155,11 @@ def load_hf_encoders() -> Encoders:
         ))
 
     def encode_images(pixels_nhwc: np.ndarray) -> np.ndarray:
-        import jax.numpy as jnp2
-
-        nchw = jnp2.asarray(pixels_nhwc.transpose(0, 3, 1, 2))
-        return np.asarray(vae_forward(nchw))
+        # Posterior MEAN, matching reference impl/dataset.py:57; NCHW
+        # flattening order matches the reference's (B, 4, 32, 32).
+        nchw = pixels_nhwc.transpose(0, 3, 1, 2)
+        latents = np.asarray(vae.encode_mean(nchw))
+        return latents.reshape(latents.shape[0], -1)
 
     return Encoders(encode_texts=encode_texts, encode_images=encode_images)
 

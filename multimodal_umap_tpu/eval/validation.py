@@ -51,7 +51,8 @@ def train(data: dict, cfg: Config, mesh=None,
 
 
 def embed(
-    model: MultimodalUMAP, data: list, src: list[int], cfg: Config
+    model: MultimodalUMAP, data: list, src: list[int], cfg: Config,
+    verbose: bool = False,
 ) -> list[jax.Array]:
     """Out-of-sample embedding wrapper (reference impl/util.py:63-87)."""
     return model.transform(
@@ -62,11 +63,13 @@ def embed(
         lr=cfg.lr,
         alpha=cfg.alpha,
         batch_size=cfg.batch_size,
+        verbose=verbose,
     )
 
 
 def recon(
-    model: MultimodalUMAP, embeds: list, dst: list[int], cfg: Config
+    model: MultimodalUMAP, embeds: list, dst: list[int], cfg: Config,
+    verbose: bool = False,
 ) -> list[jax.Array]:
     """Reconstruction wrapper (reference impl/util.py:89-113)."""
     return model.inverse_transform(
@@ -77,15 +80,17 @@ def recon(
         lr=cfg.lr,
         alpha=cfg.alpha,
         batch_size=cfg.batch_size,
+        verbose=verbose,
     )
 
 
 def embed_and_recon(
     model: MultimodalUMAP, data: list, src: list[int], dst: list[int],
-    cfg: Config,
+    cfg: Config, verbose: bool = False,
 ) -> list[jax.Array]:
     """Cross-modal translation (reference impl/util.py:115-129)."""
-    return recon(model, embed(model, data, src, cfg), dst, cfg)
+    return recon(model, embed(model, data, src, cfg, verbose), dst, cfg,
+                 verbose)
 
 
 @jax.jit

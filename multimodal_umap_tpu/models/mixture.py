@@ -251,6 +251,7 @@ class MultimodalUMAP:
         lr: float = 0.2,
         alpha: float = 0.5,
         batch_size: int = 512,
+        verbose: bool = False,
     ) -> list[jax.Array]:
         """Embeds new data into the learned latent space.
 
@@ -300,6 +301,8 @@ class MultimodalUMAP:
             a=self.a,
             b=self.b,
             key=jax.random.PRNGKey(self.seed + 1),
+            chunk_callback=self._verbose_callback("transform", epochs,
+                                                  verbose),
         )
         self.loss_history["transform"] = np.asarray(hist)
         return embeds
@@ -313,6 +316,7 @@ class MultimodalUMAP:
         lr: float = 0.2,
         alpha: float = 0.5,
         batch_size: int = 512,
+        verbose: bool = False,
     ) -> list[jax.Array]:
         """Reconstructs original features from latent embeddings.
 
@@ -373,9 +377,23 @@ class MultimodalUMAP:
             a=self.a,
             b=self.b,
             key=jax.random.PRNGKey(self.seed + 2),
+            chunk_callback=self._verbose_callback("invert", epochs, verbose),
         )
         self.loss_history["invert"] = np.asarray(hist)
         return recons
+
+    @staticmethod
+    def _verbose_callback(mode: str, epochs: int, verbose: bool):
+        """Live loss readout for transform/invert (the reference shows
+        tqdm loss in ALL modes, impl/model.py:405,478-479)."""
+        if not verbose:
+            return None
+
+        def callback(done, params, opt_state, hist):
+            print(f"{mode} epoch {done}/{epochs}  "
+                  f"loss {float(hist[-1]):.4f}", flush=True)
+
+        return callback
 
     # ------------------------------------------------------------------
     # Curve fit & persistence

@@ -14,6 +14,8 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Zero-egress: never let huggingface_hub attempt a network round-trip.
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
 
 import jax
 

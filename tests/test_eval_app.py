@@ -81,3 +81,34 @@ def test_load_data_cache_roundtrip(tmp_path):
 def test_load_data_offline_error(tmp_path):
     with pytest.raises(RuntimeError, match="synthetic"):
         load_data("train", cache_dir=os.path.join(tmp_path, "nope"))
+
+
+def test_crossmodal_recon_with_vae_decode(fitted_model, cfg, tmp_path):
+    """The REAL decode path: a tiny random-weight native Flax VAE
+    decodes (4, 32, 32) latents to (3, 64, 64) images and the app
+    writes original/reconstruction PNG pairs (reference
+    impl/crossmodal.py:28-35; VERDICT round 1 task 9)."""
+    import jax
+
+    from multimodal_umap_tpu.nn.vae import (
+        AutoencoderKL, VAEConfig, make_loaded_vae,
+    )
+
+    tiny = VAEConfig(block_out_channels=(8, 16), layers_per_block=1,
+                     latent_channels=4, norm_num_groups=4)
+    module = AutoencoderKL(tiny)
+    params = module.init(
+        jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32)
+    )["params"]
+    vae = make_loaded_vae(module, params)
+
+    model, data = fitted_model
+    samples = [data["texts"][:3], data["images"][:3]]
+    out_dir = os.path.join(tmp_path, "results_vae")
+    recons = crossmodal_recon(samples, cfg, model=model, out_dir=out_dir,
+                              latent_shape=(4, 32, 32), vae=vae)
+    assert np.asarray(recons[0]).shape == (3, 4096)
+    # Real decode path: PNG pairs only, no offline latent dump.
+    assert not os.path.exists(os.path.join(out_dir, "recon_latents.npz"))
+    pngs = [f for f in os.listdir(out_dir) if f.endswith(".png")]
+    assert len(pngs) == 3

@@ -1,0 +1,329 @@
+"""Flax <-> torch parity for the frozen-NN feature extractors.
+
+The real feature path (reference impl/dataset.py:27-58) runs torch
+BERT + diffusers AutoencoderKL; this build runs Flax BERT + the native
+Flax AutoencoderKL (multimodal_umap_tpu/nn/vae.py). Parity is provable
+offline (VERDICT round 1, task 2):
+
+* BERT -- a tiny *random-weight* torch ``BertModel`` saved locally and
+  loaded with ``from_pt=True``; ``pooler_output`` must match torch
+  within fp tolerance.
+* VAE -- an independent torch mirror of the SD-VAE architecture
+  (written here with torch.nn, diffusers-compatible state-dict names)
+  runs the same random weights; encode moments and decode output must
+  match the Flax implementation within fp tolerance. This exercises
+  the weight converter (OIHW->HWIO etc.), the NHWC layout switch, and
+  every layer's numerics against an independent framework.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+from torch import nn  # noqa: E402
+
+from multimodal_umap_tpu.nn.vae import (  # noqa: E402
+    AutoencoderKL,
+    VAEConfig,
+    make_loaded_vae,
+    params_from_torch_state_dict,
+)
+
+# ---------------------------------------------------------------------------
+# Torch mirror of the SD-VAE architecture (diffusers-compatible names)
+# ---------------------------------------------------------------------------
+
+_EPS = 1e-6
+
+
+class TorchResnet(nn.Module):
+    def __init__(self, cin, cout, groups):
+        super().__init__()
+        self.norm1 = nn.GroupNorm(groups, cin, eps=_EPS)
+        self.conv1 = nn.Conv2d(cin, cout, 3, padding=1)
+        self.norm2 = nn.GroupNorm(groups, cout, eps=_EPS)
+        self.conv2 = nn.Conv2d(cout, cout, 3, padding=1)
+        if cin != cout:
+            self.conv_shortcut = nn.Conv2d(cin, cout, 1)
+
+    def forward(self, x):
+        h = self.conv1(F.silu(self.norm1(x)))
+        h = self.conv2(F.silu(self.norm2(h)))
+        if hasattr(self, "conv_shortcut"):
+            x = self.conv_shortcut(x)
+        return x + h
+
+
+class TorchAttention(nn.Module):
+    def __init__(self, c, groups):
+        super().__init__()
+        self.group_norm = nn.GroupNorm(groups, c, eps=_EPS)
+        self.to_q = nn.Linear(c, c)
+        self.to_k = nn.Linear(c, c)
+        self.to_v = nn.Linear(c, c)
+        self.to_out = nn.ModuleList([nn.Linear(c, c)])
+
+    def forward(self, x):
+        b, c, hh, ww = x.shape
+        h = self.group_norm(x).flatten(2).transpose(1, 2)  # (B, HW, C)
+        q, k, v = self.to_q(h), self.to_k(h), self.to_v(h)
+        attn = torch.softmax(q @ k.transpose(1, 2) / c**0.5, dim=-1)
+        h = self.to_out[0](attn @ v)
+        return x + h.transpose(1, 2).reshape(b, c, hh, ww)
+
+
+class TorchMid(nn.Module):
+    def __init__(self, c, groups):
+        super().__init__()
+        self.resnets = nn.ModuleList(
+            [TorchResnet(c, c, groups), TorchResnet(c, c, groups)]
+        )
+        self.attentions = nn.ModuleList([TorchAttention(c, groups)])
+
+    def forward(self, x):
+        x = self.resnets[0](x)
+        x = self.attentions[0](x)
+        return self.resnets[1](x)
+
+
+class TorchDown(nn.Module):
+    def __init__(self, cin, cout, layers, groups, downsample):
+        super().__init__()
+        self.resnets = nn.ModuleList(
+            [TorchResnet(cin if j == 0 else cout, cout, groups)
+             for j in range(layers)]
+        )
+        if downsample:
+            conv = nn.Conv2d(cout, cout, 3, stride=2, padding=0)
+            wrapper = nn.Module()
+            wrapper.conv = conv
+            self.downsamplers = nn.ModuleList([wrapper])
+
+    def forward(self, x):
+        for r in self.resnets:
+            x = r(x)
+        if hasattr(self, "downsamplers"):
+            x = F.pad(x, (0, 1, 0, 1))
+            x = self.downsamplers[0].conv(x)
+        return x
+
+
+class TorchUp(nn.Module):
+    def __init__(self, cin, cout, layers, groups, upsample):
+        super().__init__()
+        self.resnets = nn.ModuleList(
+            [TorchResnet(cin if j == 0 else cout, cout, groups)
+             for j in range(layers + 1)]
+        )
+        if upsample:
+            conv = nn.Conv2d(cout, cout, 3, padding=1)
+            wrapper = nn.Module()
+            wrapper.conv = conv
+            self.upsamplers = nn.ModuleList([wrapper])
+
+    def forward(self, x):
+        for r in self.resnets:
+            x = r(x)
+        if hasattr(self, "upsamplers"):
+            x = F.interpolate(x, scale_factor=2, mode="nearest")
+            x = self.upsamplers[0].conv(x)
+        return x
+
+
+class TorchEncoder(nn.Module):
+    def __init__(self, cfg: VAEConfig):
+        super().__init__()
+        chans = cfg.block_out_channels
+        self.conv_in = nn.Conv2d(cfg.in_channels, chans[0], 3, padding=1)
+        blocks = []
+        prev = chans[0]
+        for i, ch in enumerate(chans):
+            blocks.append(
+                TorchDown(prev, ch, cfg.layers_per_block,
+                          cfg.norm_num_groups, i < len(chans) - 1)
+            )
+            prev = ch
+        self.down_blocks = nn.ModuleList(blocks)
+        self.mid_block = TorchMid(chans[-1], cfg.norm_num_groups)
+        self.conv_norm_out = nn.GroupNorm(
+            cfg.norm_num_groups, chans[-1], eps=_EPS
+        )
+        self.conv_out = nn.Conv2d(
+            chans[-1], 2 * cfg.latent_channels, 3, padding=1
+        )
+
+    def forward(self, x):
+        x = self.conv_in(x)
+        for b in self.down_blocks:
+            x = b(x)
+        x = self.mid_block(x)
+        return self.conv_out(F.silu(self.conv_norm_out(x)))
+
+
+class TorchDecoder(nn.Module):
+    def __init__(self, cfg: VAEConfig):
+        super().__init__()
+        chans = tuple(reversed(cfg.block_out_channels))
+        self.conv_in = nn.Conv2d(cfg.latent_channels, chans[0], 3, padding=1)
+        self.mid_block = TorchMid(chans[0], cfg.norm_num_groups)
+        blocks = []
+        prev = chans[0]
+        for i, ch in enumerate(chans):
+            blocks.append(
+                TorchUp(prev, ch, cfg.layers_per_block,
+                        cfg.norm_num_groups, i < len(chans) - 1)
+            )
+            prev = ch
+        self.up_blocks = nn.ModuleList(blocks)
+        self.conv_norm_out = nn.GroupNorm(
+            cfg.norm_num_groups, chans[-1], eps=_EPS
+        )
+        self.conv_out = nn.Conv2d(chans[-1], cfg.out_channels, 3, padding=1)
+
+    def forward(self, z):
+        x = self.conv_in(z)
+        x = self.mid_block(x)
+        for b in self.up_blocks:
+            x = b(x)
+        return self.conv_out(F.silu(self.conv_norm_out(x)))
+
+
+class TorchVAE(nn.Module):
+    def __init__(self, cfg: VAEConfig):
+        super().__init__()
+        self.encoder = TorchEncoder(cfg)
+        self.decoder = TorchDecoder(cfg)
+        self.quant_conv = nn.Conv2d(
+            2 * cfg.latent_channels, 2 * cfg.latent_channels, 1
+        )
+        self.post_quant_conv = nn.Conv2d(
+            cfg.latent_channels, cfg.latent_channels, 1
+        )
+
+    def encode_mean(self, x):
+        moments = self.quant_conv(self.encoder(x))
+        return moments.chunk(2, dim=1)[0]
+
+    def decode(self, z):
+        return self.decoder(self.post_quant_conv(z))
+
+
+# ---------------------------------------------------------------------------
+# Tests
+# ---------------------------------------------------------------------------
+
+_TINY = VAEConfig(
+    block_out_channels=(8, 16),
+    layers_per_block=1,
+    latent_channels=4,
+    norm_num_groups=4,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_vae_pair():
+    torch.manual_seed(0)
+    tvae = TorchVAE(_TINY).eval()
+    params = params_from_torch_state_dict(
+        {k: v.numpy() for k, v in tvae.state_dict().items()}, _TINY
+    )
+    loaded = make_loaded_vae(AutoencoderKL(_TINY), params)
+    return tvae, loaded
+
+
+def test_vae_encode_parity(tiny_vae_pair):
+    tvae, loaded = tiny_vae_pair
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 3, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref = tvae.encode_mean(torch.from_numpy(x)).numpy()
+    ours = np.asarray(loaded.encode_mean(x))
+    assert ours.shape == ref.shape == (2, 4, 8, 8)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_vae_decode_parity(tiny_vae_pair):
+    tvae, loaded = tiny_vae_pair
+    rng = np.random.default_rng(2)
+    z = rng.normal(size=(2, 4, 8, 8)).astype(np.float32)
+    with torch.no_grad():
+        ref = tvae.decode(torch.from_numpy(z)).numpy()
+    ours = np.asarray(loaded.decode(z))
+    assert ours.shape == ref.shape == (2, 3, 16, 16)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_vae_checkpoint_dir_roundtrip(tiny_vae_pair, tmp_path):
+    """load_vae consumes a diffusers-format checkpoint directory."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    from multimodal_umap_tpu.nn.vae import load_vae
+
+    tvae, loaded = tiny_vae_pair
+    d = tmp_path / "vae"
+    d.mkdir()
+    (d / "config.json").write_text(json.dumps({
+        "in_channels": 3,
+        "out_channels": 3,
+        "block_out_channels": [8, 16],
+        "layers_per_block": 1,
+        "latent_channels": 4,
+        "norm_num_groups": 4,
+    }))
+    save_file(
+        {k: v.numpy() for k, v in tvae.state_dict().items()},
+        str(d / "diffusion_pytorch_model.safetensors"),
+    )
+    reloaded = load_vae(str(d))
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(1, 3, 16, 16)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(reloaded.encode_mean(x)),
+        np.asarray(loaded.encode_mean(x)),
+        rtol=1e-6,
+    )
+
+
+def test_bert_pooler_parity(tmp_path):
+    """Tiny random-weight torch BertModel -> save -> FlaxBertModel
+    from_pt=True -> pooler_output parity (VERDICT task 2; reference
+    impl/dataset.py:32-33,50-53 uses the torch pooler_output)."""
+    from transformers import BertConfig, BertModel, FlaxBertModel
+
+    cfg = BertConfig(
+        vocab_size=128,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        max_position_embeddings=64,
+    )
+    torch.manual_seed(0)
+    tbert = BertModel(cfg).eval()
+    d = tmp_path / "bert"
+    tbert.save_pretrained(str(d))
+
+    fbert = FlaxBertModel.from_pretrained(str(d), from_pt=True)
+
+    rng = np.random.default_rng(4)
+    ids = rng.integers(0, 128, size=(3, 17)).astype(np.int64)
+    mask = np.ones_like(ids)
+    mask[0, 12:] = 0  # ragged padding in one row
+    tok_type = np.zeros_like(ids)
+
+    with torch.no_grad():
+        ref = tbert(
+            input_ids=torch.from_numpy(ids),
+            attention_mask=torch.from_numpy(mask),
+            token_type_ids=torch.from_numpy(tok_type),
+        ).pooler_output.numpy()
+    ours = np.asarray(
+        fbert(
+            input_ids=ids, attention_mask=mask, token_type_ids=tok_type
+        ).pooler_output
+    )
+    assert ours.shape == ref.shape == (3, 32)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)

@@ -106,3 +106,20 @@ def test_unfitted_transform_raises():
                            num_encoders=1)
     with pytest.raises(RuntimeError):
         model.transform([np.zeros((3, 8), np.float32)], epochs=1)
+
+
+def test_transform_invert_verbose(blobs, capsys):
+    """transform/inverse_transform honor verbose (the reference shows
+    live loss in ALL modes, impl/model.py:405,478-479)."""
+    x0, x1, _ = blobs
+    model = MultimodalUMAP(8, 4, 0.1, num_encoders=2)
+    model.fit([x0, x1], epochs=10, num_rep=2, lr=0.05, batch_size=64)
+    capsys.readouterr()
+    out = model.transform([x0[:16]], epochs=5, data_indices=[0],
+                          num_rep=2, lr=0.05, batch_size=64, verbose=True)
+    text = capsys.readouterr().out
+    assert "transform epoch 5/5" in text
+    model.inverse_transform([out[0]], epochs=5, data_indices=[0],
+                            num_rep=2, lr=0.05, batch_size=64, verbose=True)
+    text = capsys.readouterr().out
+    assert "invert epoch 5/5" in text
