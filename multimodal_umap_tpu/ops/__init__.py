@@ -2,6 +2,7 @@
 
 from .knn import knn
 from .knn_pallas import knn_pallas
+from .knn_stream import knn_ring, knn_streamed
 from .sigma import solve_sigmas
 from .graph import (
     EdgeGraph,
@@ -18,6 +19,8 @@ from . import losses
 __all__ = [
     "knn",
     "knn_pallas",
+    "knn_ring",
+    "knn_streamed",
     "solve_sigmas",
     "EdgeGraph",
     "curve_weights",

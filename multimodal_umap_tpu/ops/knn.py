@@ -140,6 +140,21 @@ def knn(
 
         return knn_pallas(queries, references, k, exclude_self=exclude_self)
 
+    # Column-streamed engine: explicit opt-in, or automatic once a
+    # single row_block x N panel would exceed ~4 GiB (beyond-flickr
+    # scale, where full-width panels stop fitting HBM; see
+    # ops/knn_stream.py / SURVEY.md §5.7).
+    panel_bytes = 4 * row_block * references.shape[0]
+    if engine == "stream" or (
+        engine == "xla" and panel_bytes > 4 * 1024**3
+    ):
+        from .knn_stream import knn_streamed
+
+        return knn_streamed(
+            queries, references, k, exclude_self=exclude_self,
+            row_block=row_block,
+        )
+
     if engine == "approx":
         # TPU-KNN-style approximate selection (lax.approx_max_k /
         # PartialReduce): linear-time in the column width, measured

@@ -1,0 +1,234 @@
+"""Scale-out exact kNN: column streaming + ring-sharded references.
+
+The default engine (ops/knn.py) computes ``row_block x N`` panels, so
+peak memory grows linearly with the reference count N and the full
+reference table is replicated per device under the mesh
+(parallel/mesh.py). Both stop scaling past ~100k points (a 128k^2 f32
+panel row-block is 4 GB; a replicated 1M x 4096 table is 16 GB). This
+module is the SURVEY.md §5.7 design -- the project's ring-attention
+analogue:
+
+* :func:`knn_streamed` -- single device: the column axis is blocked
+  too; each (row_block, col_block) panel merges into a running
+  per-row k-best via concat + ``lax.top_k`` over 2k candidates. Peak
+  memory is ``row_block * col_block`` + ``row_block * 2k``, independent
+  of N. A scan-carried merge was measured 20x slower to compile at no
+  runtime win, so the block loop stays at host level, reusing one
+  compiled program per (shape, k) -- every block hits the same
+  executable.
+
+* :func:`knn_ring` -- multi-chip: queries AND references both row-shard
+  across the mesh (no replicated table). Each device computes its query
+  shard against the reference shard it currently holds, merges into its
+  running k-best with global column ids, then passes the shard around
+  the ring with ``lax.ppermute`` (ICI neighbor exchange). After
+  ``mesh_size`` steps every query row has seen every reference row;
+  results come back row-sharded. Peak per-device memory is
+  ``(Q/P) * (N/P)`` panel + one (N/P, D) shard in flight.
+
+No counterpart exists in the reference (single device, NN-descent,
+SURVEY.md §2.9); cited design: SURVEY.md §5.7, §2.9 "all-gather (ICI)
+ring over column blocks".
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_INF = jnp.float32(jnp.inf)
+
+
+def _panel_sq(q_blk: jax.Array, r_blk: jax.Array) -> jax.Array:
+    """Squared-distance panel on the MXU (|q|^2 + |r|^2 - 2 q r^T)."""
+    q_sq = jnp.sum(q_blk * q_blk, axis=1, keepdims=True)
+    r_sq = jnp.sum(r_blk * r_blk, axis=1)
+    panel = q_sq + r_sq[None, :] - 2.0 * jnp.dot(
+        q_blk, r_blk.T,
+        preferred_element_type=jnp.float32,
+        precision="highest",
+    )
+    return jnp.maximum(panel, 0.0)
+
+
+def _merge_topk(
+    best_d: jax.Array,
+    best_i: jax.Array,
+    cand_d: jax.Array,
+    cand_i: jax.Array,
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Merges (rows, k) running best with (rows, c) candidates."""
+    d_all = jnp.concatenate([best_d, cand_d], axis=1)
+    i_all = jnp.concatenate([best_i, cand_i], axis=1)
+    neg_d, sel = jax.lax.top_k(-d_all, k)
+    return -neg_d, jnp.take_along_axis(i_all, sel, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "exclude_self"))
+def _stream_step(
+    q_blk: jax.Array,
+    r_blk: jax.Array,
+    row_offset: jax.Array,
+    col_offset: jax.Array,
+    num_valid_cols: jax.Array,
+    best_d: jax.Array,
+    best_i: jax.Array,
+    k: int,
+    exclude_self: bool,
+) -> tuple[jax.Array, jax.Array]:
+    """One (row_block, col_block) panel merged into the running k-best.
+
+    ``best_d`` carries SQUARED distances during streaming (sqrt once at
+    the end). Padded columns (global id >= num_valid_cols) are masked.
+    """
+    panel = _panel_sq(q_blk, r_blk)
+    cols = col_offset + jnp.arange(r_blk.shape[0], dtype=jnp.int32)
+    panel = jnp.where(cols[None, :] >= num_valid_cols, _INF, panel)
+    if exclude_self:
+        rows = row_offset + jnp.arange(q_blk.shape[0], dtype=jnp.int32)
+        panel = jnp.where(cols[None, :] == rows[:, None], _INF, panel)
+    c = min(k, r_blk.shape[0])
+    neg_d, ids = jax.lax.top_k(-panel, c)
+    return _merge_topk(best_d, best_i, -neg_d, cols[ids], k)
+
+
+def knn_streamed(
+    queries: jax.Array,
+    references: jax.Array,
+    k: int,
+    *,
+    exclude_self: bool = False,
+    row_block: int = 8192,
+    col_block: int = 32768,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact kNN with both axes blocked; memory independent of N.
+
+    Same contract as :func:`..knn.knn`: returns (Q, k) ascending
+    Euclidean distances and int32 reference ids.
+    """
+    q = jnp.asarray(queries, dtype=jnp.float32)
+    r = jnp.asarray(references, dtype=jnp.float32)
+    num_q, num_r = q.shape[0], r.shape[0]
+    if k > num_r - (1 if exclude_self else 0):
+        raise ValueError(f"k={k} exceeds available references ({num_r})")
+
+    row_block = min(row_block, num_q)
+    col_block = min(col_block, num_r)
+    n_rb = -(-num_q // row_block)
+    n_cb = -(-num_r // col_block)
+    if n_rb * row_block != num_q:
+        q = jnp.pad(q, ((0, n_rb * row_block - num_q), (0, 0)))
+    if n_cb * col_block != num_r:
+        r = jnp.pad(r, ((0, n_cb * col_block - num_r), (0, 0)))
+
+    nv = jnp.int32(num_r)
+    d_parts, i_parts = [], []
+    for rb in range(n_rb):
+        q_blk = jax.lax.dynamic_slice_in_dim(q, rb * row_block, row_block)
+        best_d = jnp.full((row_block, k), _INF)
+        best_i = jnp.full((row_block, k), -1, dtype=jnp.int32)
+        for cb in range(n_cb):
+            r_blk = jax.lax.dynamic_slice_in_dim(
+                r, cb * col_block, col_block
+            )
+            best_d, best_i = _stream_step(
+                q_blk, r_blk,
+                jnp.int32(rb * row_block), jnp.int32(cb * col_block),
+                nv, best_d, best_i, k, exclude_self,
+            )
+        d_parts.append(best_d)
+        i_parts.append(best_i)
+    dists = jnp.sqrt(jnp.concatenate(d_parts)[:num_q])
+    ids = jnp.concatenate(i_parts)[:num_q]
+    return dists, ids
+
+
+def knn_ring(
+    queries: jax.Array,
+    references: jax.Array,
+    k: int,
+    mesh: jax.sharding.Mesh,
+    *,
+    exclude_self: bool = False,
+    axis: str | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact kNN with the reference table ring-sharded over the mesh.
+
+    Queries and references must both have row counts divisible by the
+    mesh size (pad at the caller). Results return row-sharded over the
+    same axis. ``exclude_self`` requires queries and references to be
+    the same table (fit mode).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    axis = axis or DATA_AXIS
+    p = int(mesh.shape[axis])
+    num_q, num_r = queries.shape[0], references.shape[0]
+    if num_q % p or num_r % p:
+        raise ValueError(
+            f"knn_ring needs row counts divisible by mesh size {p}; "
+            f"got Q={num_q}, N={num_r} (pad at the caller)"
+        )
+    if exclude_self and num_q != num_r:
+        raise ValueError("exclude_self requires queries == references")
+    if k > num_r - (1 if exclude_self else 0):
+        raise ValueError(f"k={k} exceeds available references ({num_r})")
+
+    q_rows, r_rows = num_q // p, num_r // p
+    perm = [(j, (j + 1) % p) for j in range(p)]
+
+    def body(q_shard, r_shard):
+        me = jax.lax.axis_index(axis)
+        best_d = jnp.full((q_rows, k), _INF)
+        best_i = jnp.full((q_rows, k), -1, dtype=jnp.int32)
+        cur = r_shard
+        for step in range(p):
+            # After `step` rotations, this device holds the shard that
+            # started at (me - step) mod p.
+            col_offset = ((me - step) % p) * r_rows
+            panel = _panel_sq(q_shard, cur)
+            cols = col_offset + jnp.arange(r_rows, dtype=jnp.int32)
+            if exclude_self:
+                rows = me * q_rows + jnp.arange(q_rows, dtype=jnp.int32)
+                panel = jnp.where(
+                    cols[None, :] == rows[:, None], _INF, panel
+                )
+            c = min(k, r_rows)
+            neg_d, ids = jax.lax.top_k(-panel, c)
+            best_d, best_i = _merge_topk(
+                best_d, best_i, -neg_d, cols[ids], k
+            )
+            if step < p - 1:
+                cur = jax.lax.ppermute(cur, axis, perm)
+        return jnp.sqrt(best_d), best_i
+
+    shard = NamedSharding(mesh, P(axis, None))
+    q = jax.device_put(
+        jnp.asarray(queries, dtype=jnp.float32), shard
+    )
+    r = jax.device_put(
+        jnp.asarray(references, dtype=jnp.float32), shard
+    )
+    fn = jax.jit(
+        jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis, None), P(axis, None)),
+            out_specs=(P(axis, None), P(axis, None)),
+        )
+    )
+    return fn(q, r)
+
+
+def pad_rows_to_multiple(x: np.ndarray | jax.Array, multiple: int):
+    """(array padded with zero rows to a multiple, original row count)."""
+    n = x.shape[0]
+    padded = -(-n // multiple) * multiple
+    if padded == n:
+        return x, n
+    return jnp.pad(jnp.asarray(x), ((0, padded - n), (0, 0))), n

@@ -1,0 +1,88 @@
+"""Scale-out kNN engines vs the exact default engine.
+
+knn_streamed (column-blocked single device) and knn_ring (reference
+table ring-sharded over the mesh, no replication) must agree with the
+full-width exact engine bit-for-bit on ids and to fp tolerance on
+distances (SURVEY.md §5.7 design; VERDICT round 1 task 7).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_umap_tpu.ops.knn import knn
+from multimodal_umap_tpu.ops.knn_stream import (
+    knn_ring,
+    knn_streamed,
+    pad_rows_to_multiple,
+)
+from multimodal_umap_tpu.parallel import create_mesh
+
+
+def test_streamed_matches_exact_self_graph(rng):
+    x = jnp.asarray(rng.normal(size=(263, 12)).astype(np.float32))
+    d0, i0 = knn(x, x, 7, exclude_self=True)
+    d1, i1 = knn_streamed(x, x, 7, exclude_self=True,
+                          row_block=64, col_block=48)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_streamed_matches_exact_query_mode(rng):
+    r = jnp.asarray(rng.normal(size=(190, 9)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(45, 9)).astype(np.float32))
+    d0, i0 = knn(q, r, 6)
+    d1, i1 = knn_streamed(q, r, 6, row_block=16, col_block=37)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_streamed_k_larger_than_col_block(rng):
+    """k exceeding a single column block forces multi-block merging."""
+    x = jnp.asarray(rng.normal(size=(96, 5)).astype(np.float32))
+    d0, i0 = knn(x, x, 11, exclude_self=True)
+    d1, i1 = knn_streamed(x, x, 11, exclude_self=True,
+                          row_block=32, col_block=8)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ring_matches_exact_self_graph(rng):
+    mesh = create_mesh()
+    x = jnp.asarray(rng.normal(size=(256, 16)).astype(np.float32))
+    d0, i0 = knn(x, x, 9, exclude_self=True)
+    d1, i1 = knn_ring(x, x, 9, mesh, exclude_self=True)
+    assert not d1.sharding.is_fully_replicated  # stays row-sharded
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ring_matches_exact_query_mode(rng):
+    mesh = create_mesh()
+    r = jnp.asarray(rng.normal(size=(320, 8)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(64, 8)).astype(np.float32))
+    d0, i0 = knn(q, r, 5)
+    d1, i1 = knn_ring(q, r, 5, mesh)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ring_rejects_indivisible_rows(rng):
+    import pytest
+
+    mesh = create_mesh()
+    x = jnp.asarray(rng.normal(size=(100, 4)).astype(np.float32))
+    with pytest.raises(ValueError, match="divisible"):
+        knn_ring(x, x, 3, mesh)
+
+
+def test_pad_rows_to_multiple(rng):
+    x = rng.normal(size=(100, 4)).astype(np.float32)
+    padded, n = pad_rows_to_multiple(x, 8)
+    assert padded.shape == (104, 4) and n == 100
+    same, n2 = pad_rows_to_multiple(x[:96], 8)
+    assert same.shape == (96, 4) and n2 == 96

@@ -5,8 +5,13 @@ invert semantics patched in, SURVEY.md §2.10a) on fixed small synthetic
 datasets and recorded its evaluation metrics. These tests run OUR
 pipeline on the identical data and configuration and require
 match-or-beat within statistical bands (both pipelines are randomized;
-SURVEY.md §4: parity is statistical, not bitwise). Two independent
-golden configurations guard against band-fitting to one dataset."""
+SURVEY.md §4: parity is statistical, not bitwise). Three independent
+golden configurations guard against band-fitting to one dataset.
+
+Bands (tightened per VERDICT round 1 task 4): cosine >= ref - 0.03,
+knn5 >= 0.9x ref, recon MSE <= 1.1x ref, trustworthiness >= ref - 0.02
+per modality -- exact kNN should match or beat the reference's
+randomized NN-descent graphs."""
 
 import glob
 import json
@@ -62,7 +67,16 @@ def _run_pipeline(golden):
                                 batch_size=64)[0]
     )
     mse = float(np.mean((recon - np.asarray(test[1])) ** 2))
-    return {"cosine": cosine, "knn5": float(knn5), "recon_mse": mse}
+
+    from multimodal_umap_tpu.eval.trustworthiness import trustworthiness
+
+    trust = [
+        float(trustworthiness(np.asarray(train[i]),
+                              np.asarray(model.embeds[i]), k=10))
+        for i in range(2)
+    ]
+    return {"cosine": cosine, "knn5": float(knn5), "recon_mse": mse,
+            "trustworthiness": trust}
 
 
 @pytest.fixture(scope="module", params=GOLDEN_FILES,
@@ -76,16 +90,26 @@ def case(request):
 def test_cosine_parity(case):
     golden, results = case
     ref = golden["reference"]["cosine"]
-    assert results["cosine"] >= ref - 0.10, (results, ref)
+    assert results["cosine"] >= ref - 0.03, (results, ref)
 
 
 def test_knn_retrieval_parity(case):
     golden, results = case
     ref = golden["reference"]["knn5"]
-    assert results["knn5"] >= 0.7 * ref, (results, ref)
+    assert results["knn5"] >= 0.9 * ref, (results, ref)
 
 
 def test_recon_mse_parity(case):
     golden, results = case
     ref = golden["reference"]["recon_mse"]
-    assert results["recon_mse"] <= 1.3 * ref, (results, ref)
+    assert results["recon_mse"] <= 1.1 * ref, (results, ref)
+
+
+def test_trustworthiness_parity(case):
+    """Layout-quality gauge (BASELINE.json): exact-kNN graphs should
+    yield fit embeddings at least as trustworthy as the reference's
+    randomized NN-descent graphs, per modality."""
+    golden, results = case
+    refs = golden["reference"]["trustworthiness"]
+    for ours, ref in zip(results["trustworthiness"], refs):
+        assert ours >= ref - 0.02, (results["trustworthiness"], refs)

@@ -26,7 +26,7 @@ from multimodal_umap_tpu.data.synthetic import clustered_modalities  # noqa: E40
 import argparse
 
 _p = argparse.ArgumentParser()
-_p.add_argument("--variant", default="a", choices=["a", "b"])
+_p.add_argument("--variant", default="a", choices=["a", "b", "c"])
 _args = _p.parse_args()
 
 if _args.variant == "a":
@@ -34,11 +34,16 @@ if _args.variant == "a":
     N_TRAIN, N_TEST, K, OUT_DIM = 256, 64, 8, 8
     EPOCHS, TEST_EPOCHS = 200, 60
     DIMS, N_CLUSTERS, SEED = (24, 40), 8, 11
-else:
+elif _args.variant == "b":
     OUT_NAME = "reference_e2e_b.json"
     N_TRAIN, N_TEST, K, OUT_DIM = 320, 80, 10, 6
     EPOCHS, TEST_EPOCHS = 150, 50
     DIMS, N_CLUSTERS, SEED = (32, 16), 5, 23
+else:
+    OUT_NAME = "reference_e2e_c.json"
+    N_TRAIN, N_TEST, K, OUT_DIM = 288, 72, 12, 10
+    EPOCHS, TEST_EPOCHS = 180, 45
+    DIMS, N_CLUSTERS, SEED = (20, 28), 6, 37
 
 OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens",
                    OUT_NAME)
@@ -109,6 +114,21 @@ def main():
     mse = float(((recon - test[1]) ** 2).mean())
     shuffled = float(((recon - test[1][torch.randperm(N_TEST)]) ** 2).mean())
 
+    # Trustworthiness of the FIT embeddings per modality (the layout-
+    # quality gauge named in BASELINE.json; computed last so the torch
+    # RNG stream feeding the metrics above is unchanged vs older
+    # goldens). The metric implementation is framework-neutral and
+    # oracle-tested (tests/test_trustworthiness.py).
+    from multimodal_umap_tpu.eval.trustworthiness import trustworthiness
+
+    trust = [
+        float(trustworthiness(
+            np.asarray(train[i].cpu()), np.asarray(model.embeds[i].detach()),
+            k=10,
+        ))
+        for i in range(2)
+    ]
+
     golden = {
         "config": {"n_train": N_TRAIN, "n_test": N_TEST, "k": K,
                    "out_dim": OUT_DIM, "epochs": EPOCHS,
@@ -116,6 +136,7 @@ def main():
                    "n_clusters": N_CLUSTERS, "seed": SEED},
         "reference": {"cosine": cosine, "knn5": knn5, "recon_mse": mse,
                       "recon_mse_shuffled": shuffled,
+                      "trustworthiness": trust,
                       "fit_seconds_cpu": fit_s},
     }
     with open(OUT, "w") as f:
