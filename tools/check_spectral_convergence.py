@@ -1,0 +1,98 @@
+"""Validates spectral-init convergence at flickr scale (VERDICT round 1
+task 8 / weak #7).
+
+Builds the real fit graph at N=31744 (flickr geometry, canonical k=15),
+runs the production LOBPCG path at out_dim=64, and reports per-vector
+relative residuals ||L v - theta v|| / (theta + eps) and Rayleigh
+quotients -- the quantities that say whether the 65-pair subspace is
+actually converged at the iteration cap. Also reports a reference
+point: the Rayleigh band of random-init vectors, to show how far below
+random the returned subspace sits (the spectral init only has to be
+LOW-ENERGY; the 600-epoch layout washes out residual inaccuracy,
+SURVEY.md §7 "hard parts").
+
+Usage: python -u tools/check_spectral_convergence.py [n] [out_dim] [max_iters]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_umap_tpu.data.synthetic import clustered_modalities_device
+from multimodal_umap_tpu.ops.graph import fuzzy_weights, symmetrize
+from multimodal_umap_tpu.ops.knn import knn
+from multimodal_umap_tpu.ops.spectral import (
+    _EPS_SHIFT,
+    _degrees,
+    spectral_embedding,
+)
+from multimodal_umap_tpu.utils.cache import enable_compilation_cache
+
+
+def laplacian_apply(graph, x):
+    """L @ x via the same segment-sum matvec as production."""
+    d_inv_sqrt = _degrees(graph) ** -0.5
+    w = jnp.where(graph.valid, graph.weights, 0.0)
+    scaled = (d_inv_sqrt[:, None] * x)[graph.cols] * w[:, None]
+    ax = jax.ops.segment_sum(scaled, graph.rows,
+                             num_segments=graph.num_rows)
+    return (1.0 + _EPS_SHIFT) * x - d_inv_sqrt[:, None] * ax
+
+
+def main():
+    enable_compilation_cache()
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 31744
+    out_dim = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    max_iters = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+
+    data = clustered_modalities_device(n, dims=(768, 8), n_clusters=256,
+                                       seed=0)
+    x = data["texts"]
+    d, i = knn(x, x, 15, exclude_self=True)
+    w, _, _ = fuzzy_weights(d)
+    graph = symmetrize(i, w)
+
+    t0 = time.perf_counter()
+    vecs = spectral_embedding(graph, out_dim, method="lobpcg",
+                              max_iters=max_iters)
+    vecs = np.asarray(vecs)  # host readback = true sync on axon
+    t_spectral = time.perf_counter() - t0
+
+    v = jnp.asarray(vecs)
+    # Orthonormalize before measuring (LOBPCG returns B-orthonormal
+    # columns; QR guards against any drift).
+    q, _ = jnp.linalg.qr(v)
+    lv = laplacian_apply(graph, q)
+    theta = jnp.sum(q * lv, axis=0)  # Rayleigh quotients
+    resid = jnp.linalg.norm(lv - q * theta[None, :], axis=0)
+    rel = resid / (jnp.abs(theta) + 1e-9)
+
+    key = jax.random.PRNGKey(0)
+    r = jax.random.normal(key, (n, out_dim), dtype=jnp.float32)
+    rq, _ = jnp.linalg.qr(r)
+    r_theta = jnp.sum(rq * laplacian_apply(graph, rq), axis=0)
+
+    theta = np.sort(np.asarray(theta))
+    rel = np.asarray(rel)
+    r_theta = np.sort(np.asarray(r_theta))
+
+    print(f"N={n} out_dim={out_dim} max_iters={max_iters} "
+          f"spectral={t_spectral:.1f}s")
+    print(f"rayleigh: min={theta[0]:.6f} median={np.median(theta):.6f} "
+          f"max={theta[-1]:.6f}")
+    print(f"residual(abs): max={np.asarray(resid).max():.2e}  "
+          f"residual(rel): median={np.median(rel):.3f} max={rel.max():.3f}")
+    print(f"random-init rayleigh band: [{r_theta[0]:.4f}, "
+          f"{r_theta[-1]:.4f}] (median {np.median(r_theta):.4f})")
+    ratio = float(np.median(theta) / max(np.median(r_theta), 1e-9))
+    print(f"subspace energy vs random init: {100 * ratio:.2f}% "
+          f"({'LOW-ENERGY OK' if ratio < 0.25 else 'CHECK'})")
+
+
+if __name__ == "__main__":
+    main()
