@@ -11,7 +11,7 @@ random the returned subspace sits (the spectral init only has to be
 LOW-ENERGY; the 600-epoch layout washes out residual inaccuracy,
 SURVEY.md §7 "hard parts").
 
-Usage: python -u tools/check_spectral_convergence.py [n] [out_dim] [max_iters]
+Usage: python -u tools/check_spectral_convergence.py [n] [out_dim] [max_iters] [method]
 """
 
 import sys
@@ -49,6 +49,7 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 31744
     out_dim = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     max_iters = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    method = sys.argv[4] if len(sys.argv) > 4 else "lobpcg"
 
     data = clustered_modalities_device(n, dims=(768, 8), n_clusters=256,
                                        seed=0)
@@ -58,10 +59,22 @@ def main():
     graph = symmetrize(i, w)
 
     t0 = time.perf_counter()
-    vecs = spectral_embedding(graph, out_dim, method="lobpcg",
+    vecs = spectral_embedding(graph, out_dim, method=method,
                               max_iters=max_iters)
     vecs = np.asarray(vecs)  # host readback = true sync on axon
     t_spectral = time.perf_counter() - t0
+    # Second call on a different graph: warm (compile amortized) wall
+    # time; identical inputs would be memoized by the axon tunnel.
+    data2 = clustered_modalities_device(n, dims=(768, 8), n_clusters=256,
+                                        seed=1)
+    d2, i2 = knn(data2["texts"], data2["texts"], 15, exclude_self=True)
+    w2, _, _ = fuzzy_weights(d2)
+    graph2 = symmetrize(i2, w2)
+    np.asarray(graph2.weights[:1])
+    t1 = time.perf_counter()
+    np.asarray(spectral_embedding(graph2, out_dim, method=method,
+                                  max_iters=max_iters))
+    t_warm = time.perf_counter() - t1
 
     v = jnp.asarray(vecs)
     # Orthonormalize before measuring (LOBPCG returns B-orthonormal
@@ -81,8 +94,8 @@ def main():
     rel = np.asarray(rel)
     r_theta = np.sort(np.asarray(r_theta))
 
-    print(f"N={n} out_dim={out_dim} max_iters={max_iters} "
-          f"spectral={t_spectral:.1f}s")
+    print(f"N={n} out_dim={out_dim} max_iters={max_iters} method={method} "
+          f"spectral={t_spectral:.1f}s (warm {t_warm:.1f}s)")
     print(f"rayleigh: min={theta[0]:.6f} median={np.median(theta):.6f} "
           f"max={theta[-1]:.6f}")
     print(f"residual(abs): max={np.asarray(resid).max():.2e}  "

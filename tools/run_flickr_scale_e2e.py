@@ -22,6 +22,15 @@ from multimodal_umap_tpu.eval import embed_and_recon, knn_test, similarity_test
 from multimodal_umap_tpu.utils.cache import enable_compilation_cache
 
 
+def sync(x):
+    """True host sync: on the axon tunnel block_until_ready does not
+    drain the dispatch queue -- only host readback does. Without this
+    the fit cost bleeds into whatever phase reads back first."""
+    for leaf in jax.tree_util.tree_leaves(x):
+        np.asarray(leaf[..., :1])
+    return x
+
+
 def main():
     enable_compilation_cache()
     n_train = int(sys.argv[1]) if len(sys.argv) > 1 else 31744
@@ -34,7 +43,7 @@ def main():
     test = clustered_modalities_device(n_test, dims=(768, 4096),
                                        n_clusters=256, seed=1,
                                        centers_seed=0)
-    jax.block_until_ready(list(train.values()) + list(test.values()))
+    sync(list(train.values()) + list(test.values()))
 
     t0 = time.perf_counter()
     model = MultimodalUMAP(cfg.k_neighbors, cfg.out_dim, cfg.min_dist,
@@ -42,7 +51,7 @@ def main():
     model.fit([train[k] for k in train], epochs=cfg.train_epochs,
               num_rep=cfg.num_rep, lr=cfg.lr, alpha=cfg.alpha,
               batch_size=cfg.batch_size)
-    jax.block_until_ready(model.embeds)
+    sync(model.embeds)
     t_fit = time.perf_counter() - t0
     print(f"fit: {t_fit:.1f}s  phases: "
           f"{ {k: round(v, 1) for k, v in model.timer.report().items()} }",
@@ -50,12 +59,16 @@ def main():
 
     t1 = time.perf_counter()
     sim = similarity_test(test, cfg, model=model, return_values=True)
+    t_sim = time.perf_counter() - t1
     acc = knn_test(test, cfg, k=1, model=model, return_values=True)
+    t_knn = time.perf_counter() - t1 - t_sim
     recons = embed_and_recon(model, [test["texts"][:16]], [0], [1], cfg)
     mse = float(np.mean(
         (np.asarray(recons[0]) - np.asarray(test["images"][:16])) ** 2
     ))
     t_eval = time.perf_counter() - t1
+    print(f"eval split: similarity {t_sim:.1f}s, knn_test {t_knn:.1f}s, "
+          f"recon {t_eval - t_sim - t_knn:.1f}s", flush=True)
 
     total = time.perf_counter() - t0
     print(f"eval: {t_eval:.1f}s  (cosine {sim:.4f}, knn@1 {acc:.4f}, "
