@@ -215,8 +215,9 @@ def _fit_modality_loss(
 
     # Plain gather: its backward is ONE (N*k, D) scatter-add per
     # modality per epoch (~8 ms at flickr scale) -- measured cheaper
-    # than a padded column-gather once hub in-degree inflates the pad
-    # map (max in-degree ~120 vs k=15).
+    # than every precomputed-transpose substitute tried, including a
+    # cap-2k padded map + hub-overflow scatter (71 vs 36 ms/epoch bare
+    # attraction at 31k; random row gathers cost like the scatter).
     y = embed[task.nbrs]  # (N, k, D)
     attr = L.umap_attr(embed[:, None, :], y, a, b)  # (N, k)
     loss_attr = jnp.sum(coef * attr)

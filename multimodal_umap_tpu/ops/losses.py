@@ -113,12 +113,19 @@ def infonce(
     offsets = jax.random.randint(key_off, (n_neg + 1,), 0, num)
     neg_idx = (jnp.arange(num, dtype=jnp.int32)[:, None]
                + offsets[None, :]) % num  # (num, n_neg+1)
-    neg_rows = q[neg_idx]  # actual negative row ids
+    neg_rows = q[neg_idx]  # actual negative row ids (int gather, no grad)
     not_self = neg_rows != perm[:, None]
-    # Cyclic-shift gathers of the permuted table; the backward scatter
-    # is only (num * (n_neg+1)) rows -- negligible.
-    negatives = _l2_normalize(permuted_1[neg_idx])
-    neg_sim = jnp.einsum("nd,nkd->nk", anchors, negatives) / temperature
+    # Negative column c is the cyclic shift permuted_1[(i + off_c) % num]
+    # == roll(permuted_1, -off_c). Rolling the ONCE-normalized table
+    # instead of gathering (num, n_neg+1, D) copies keeps the backward a
+    # roll (dynamic-slice VJP) -- no (num*(n_neg+1), D) scatter-add, and
+    # the normalize runs once instead of n_neg+1 times.
+    normed_1 = _l2_normalize(permuted_1)
+    neg_sim = jnp.stack(
+        [jnp.sum(anchors * jnp.roll(normed_1, -offsets[c], axis=0), axis=1)
+         for c in range(n_neg + 1)],
+        axis=1,
+    ) / temperature
     neg_sim = jnp.where(not_self, neg_sim, -jnp.inf)
 
     logits = jnp.concatenate([pos_sim[:, None], neg_sim], axis=1)

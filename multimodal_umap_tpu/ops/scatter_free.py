@@ -14,8 +14,12 @@ from structures whose backward is a reindex, not a scatter:
 
 Alternatives that were implemented, measured on v5e, and rejected (see
 commit history): transpose-ordered cumsum/associative-scan aggregation
-(28.5 ms per (1M, 64) pass -- worse than the scatter it replaced) and
-padded per-column gather maps (hub in-degree ~8x-inflates the work).
+(28.5 ms per (1M, 64) pass -- worse than the scatter it replaced);
+padded per-column gather maps (hub in-degree ~8x-inflates the work);
+and a cap-2k padded transpose map + hub-overflow scatter (round 2:
+71 vs 36 ms/epoch bare attraction at 31k -- random row GATHERS at
+(N, 2k, D) cost as much as the scatter they replace, so precomputing
+the transpose buys nothing on this hardware).
 """
 
 from __future__ import annotations

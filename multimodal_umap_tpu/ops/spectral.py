@@ -69,6 +69,91 @@ def _spectral_lobpcg(graph: EdgeGraph, out_dim: int, max_iters: int = 64):
     return vecs[:, 1:]
 
 
+@functools.partial(
+    jax.jit, static_argnames=("out_dim", "degree", "rounds", "guard")
+)
+def _spectral_chebyshev(
+    graph: EdgeGraph,
+    out_dim: int,
+    degree: int = 24,
+    rounds: int = 3,
+    guard: int = 8,
+):
+    """Chebyshev-filtered subspace iteration + one Rayleigh-Ritz.
+
+    The spectral INIT only has to span a low-energy subspace of the
+    normalized Laplacian (the layout optimization washes out residual
+    inaccuracy, SURVEY.md §7); machine-precision eigenpairs are wasted
+    work. LOBPCG pays a (3m x 3m) dense eigendecomposition + basis
+    orthonormalization EVERY iteration -- ~15 s at N=31744/out_dim=64
+    on v5e. This filter pays ``rounds * degree`` sparse matvecs (each a
+    segment-sum over the fixed edge list, ~ms), ``rounds`` QRs, and a
+    single (m x m) Rayleigh-Ritz: same low-energy subspace at a
+    fraction of the cost.
+
+    The degree-p Chebyshev polynomial T_p mapped to the damp interval
+    [lo, 2] grows exponentially on [0, lo) and stays in [-1, 1] on the
+    damp interval, so components with L-eigenvalue below ``lo`` dominate
+    after filtering; Rayleigh-Ritz then extracts the best (out_dim+1)
+    vectors from the filtered block. ``guard`` extra block vectors
+    absorb filter leakage at the subspace edge.
+
+    The damp interval adapts per round from the block's Ritz values
+    (the ChebFD scheme): the lower damp edge is the largest Ritz value
+    of the current block, which monotonically tightens toward the true
+    (m)-th eigenvalue -- no spectrum knowledge needed up front.
+    """
+    n = graph.num_rows
+    m = out_dim + 1 + guard
+    d_inv_sqrt = _degrees(graph) ** -0.5
+
+    def lap(x):
+        # L @ x (the un-shifted operator; _laplacian_matvec applies the
+        # LOBPCG shift, which the filter does not want).
+        return _LOBPCG_SHIFT * x - _laplacian_matvec(graph, d_inv_sqrt, x)
+
+    def rayleigh_ritz(x):
+        """Orthonormal Ritz block (ascending) + its Ritz values."""
+        b = x.T @ lap(x)
+        b = (b + b.T) / 2.0
+        theta, v = jnp.linalg.eigh(b)  # ascending
+        return x @ v, theta
+
+    hi = 2.0 + 2.0 * _EPS_SHIFT
+
+    key = jax.random.PRNGKey(42)
+    x = jax.random.normal(key, (n, m), dtype=jnp.float32)
+    trivial = 1.0 / d_inv_sqrt
+    x = x.at[:, 0].set(trivial / jnp.linalg.norm(trivial))
+    x, _ = jnp.linalg.qr(x)
+    x, theta = rayleigh_ritz(x)
+
+    for _ in range(rounds):
+        # Damp [lo, hi] where lo is the block's largest Ritz value,
+        # kept strictly inside the spectrum interval.
+        lo = jnp.clip(theta[-1], 0.05 * hi, 0.95 * hi)
+        half_w = (hi - lo) / 2.0
+        center = (lo + hi) / 2.0
+        # Three-term recurrence for T_p((L - c I)/e) @ x. The filter
+        # amplifies low-eigenvalue components by up to cosh(p*acosh(.))
+        # ~ 1e17, whose squared norms overflow f32 inside QR; rescaling
+        # BOTH recurrence terms by the same factor preserves the
+        # filtered direction (the recurrence is linear).
+        y_prev = x
+        y = (lap(x) - center * x) / half_w
+        for _ in range(degree - 1):
+            y_next = 2.0 * (lap(y) - center * y) / half_w - y_prev
+            y_prev, y = y, y_next
+            scale = 1.0 / jnp.maximum(jnp.max(jnp.abs(y)), 1.0)
+            y = y * scale
+            y_prev = y_prev * scale
+        x, _ = jnp.linalg.qr(y)
+        x, theta = rayleigh_ritz(x)
+
+    # Drop the trivial eigenvector, keep the next out_dim.
+    return x[:, 1 : out_dim + 1]
+
+
 @functools.partial(jax.jit, static_argnames=("out_dim",))
 def _spectral_dense(graph: EdgeGraph, out_dim: int):
     adj = to_dense(graph)
@@ -94,8 +179,8 @@ def spectral_embedding(
     Args:
         graph: symmetric EdgeGraph from :func:`symmetrize`.
         out_dim: number of eigenvectors returned.
-        method: "dense", "lobpcg", or "auto" (dense below 4k rows or
-            when LOBPCG's n > 4k guardrail would be violated).
+        method: "dense", "lobpcg", "chebyshev", or "auto" (dense below
+            the small-n guardrail, else chebyshev).
         max_iters: LOBPCG iteration cap.
 
     Returns:
@@ -103,13 +188,17 @@ def spectral_embedding(
     """
     n = graph.num_rows
     if method == "auto":
-        # LOBPCG always: dense eigh is pathologically slow on TPU (QR
-        # iteration; minutes at N=2000) while the LOBPCG matvec is pure
-        # segment_sum + small matmuls. Dense only below lobpcg_standard's
-        # n >= ~4*(k+1) guardrail, where eigh is trivial anyway.
-        method = "dense" if n < 4 * (out_dim + 1) + 4 else "lobpcg"
+        # Chebyshev-filtered Rayleigh-Ritz by default: ~10x faster than
+        # LOBPCG at 31k (1.3s vs ~15s warm on v5e) at equal-or-lower
+        # subspace energy (tools/check_spectral_convergence.py). Dense
+        # eigh only below the small-n guardrail (the block needs room:
+        # m = out_dim + 1 + guard <= n), where eigh is trivial anyway --
+        # dense is pathologically slow on TPU at N>=2000 (QR iteration).
+        method = "dense" if n < 4 * (out_dim + 1) + 4 else "chebyshev"
     if method == "dense":
         return _spectral_dense(graph, out_dim)
     if method == "lobpcg":
         return _spectral_lobpcg(graph, out_dim, max_iters=max_iters)
+    if method == "chebyshev":
+        return _spectral_chebyshev(graph, out_dim)
     raise ValueError(f"unknown spectral method: {method}")

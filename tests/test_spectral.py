@@ -26,6 +26,38 @@ def test_lobpcg_matches_dense_subspace(rng):
     assert sv.min() > 0.98, sv
 
 
+def test_chebyshev_low_energy_subspace(rng):
+    """The Chebyshev-filtered init must land in a low-energy subspace:
+    its total Rayleigh energy within ~2x of the exact dense optimum and
+    far below random init (the init-quality contract, SURVEY.md §7)."""
+    from multimodal_umap_tpu.ops.graph import to_dense
+
+    graph = _graph(rng, n=400, k=8)
+    adj = np.asarray(to_dense(graph))
+    deg = np.maximum(adj.sum(1), 1e-6) ** -0.5
+    lap = np.eye(400, dtype=np.float32) * (1 + 1e-6) \
+        - deg[:, None] * adj * deg[None, :]
+
+    def energy(v):
+        q, _ = np.linalg.qr(np.asarray(v))
+        return float(np.trace(q.T @ lap @ q))
+
+    dense = spectral_embedding(graph, 4, method="dense")
+    cheb = spectral_embedding(graph, 4, method="chebyshev")
+    rnd = rng.normal(size=(400, 4)).astype(np.float32)
+    e_dense, e_cheb, e_rnd = energy(dense), energy(cheb), energy(rnd)
+    assert e_cheb < 2.0 * e_dense + 1e-3, (e_cheb, e_dense)
+    assert e_cheb < 0.25 * e_rnd, (e_cheb, e_rnd)
+
+    # Subspace agreement with the exact dense bottom eigenvectors
+    # (principal angles): the filtered block must essentially contain
+    # the true low subspace, not merely have low total energy.
+    q_d, _ = np.linalg.qr(np.asarray(dense))
+    q_c, _ = np.linalg.qr(np.asarray(cheb))
+    sv = np.linalg.svd(q_d.T @ q_c, compute_uv=False)
+    assert sv.min() > 0.9, sv
+
+
 def test_auto_dispatch_small_uses_dense(rng):
     graph = _graph(rng, n=40, k=5)
     # out_dim=16 -> 4*17+4=72 > 40 -> dense path must be chosen (lobpcg
