@@ -105,6 +105,7 @@ def run_flickr_scale(n_train: int = 31744, n_test: int = 1024) -> dict:
         embed_and_recon,
         knn_test,
         similarity_test,
+        start_eval_prewarm,
     )
 
     cfg = Config()  # canonical reference CLI defaults
@@ -117,6 +118,12 @@ def run_flickr_scale(n_train: int = 31744, n_test: int = 1024) -> dict:
     _sync(list(train.values()) + list(test.values()))
 
     t0 = time.perf_counter()
+    # Overlap the eval programs' first-call costs (tracing +
+    # compile-cache load, ~10 s host-side) with the device-bound fit.
+    prewarm = start_eval_prewarm(
+        n_train=n_train, dims=(768, 4096), cfg=cfg, q_main=n_test,
+        q_recon=16, k_test=1,
+    )
     model = MultimodalUMAP(cfg.k_neighbors, cfg.out_dim, cfg.min_dist,
                            num_encoders=2)
     model.fit([train[key] for key in train], epochs=cfg.train_epochs,
@@ -125,6 +132,7 @@ def run_flickr_scale(n_train: int = 31744, n_test: int = 1024) -> dict:
     _sync(model.embeds)
     t_fit = time.perf_counter() - t0
 
+    prewarm.join()
     t1 = time.perf_counter()
     sim = similarity_test(test, cfg, model=model, return_values=True)
     acc = knn_test(test, cfg, k=1, model=model, return_values=True)

@@ -112,15 +112,37 @@ def main() -> None:
     if mesh.devices.size == 1:
         mesh = None  # single device: skip sharding machinery
 
+    prewarm = None
     if args.load_pretrained == "yes":
         model = MultimodalUMAP.load_state_dict(args.save_path)
     else:
+        import jax
+
+        if mesh is None and jax.default_backend() != "cpu":
+            # Warm the eval executables on a background thread while fit
+            # keeps the device busy (eval/prewarm.py). Mesh runs skip it
+            # (their executables are keyed on shardings the dummy model
+            # does not carry); CPU runs skip it too -- fit is then
+            # host-bound and the prewarm compiles would contend with it.
+            from multimodal_umap_tpu.eval import start_eval_prewarm
+
+            keys = list(train_split)
+            prewarm = start_eval_prewarm(
+                n_train=int(train_split[keys[0]].shape[0]),
+                dims=tuple(int(train_split[k].shape[1]) for k in keys),
+                cfg=cfg,
+                q_main=int(test_split[keys[0]].shape[0]),
+                q_recon=16,
+                k_test=args.k_test,
+            )
         model = train(train_split, cfg, mesh=mesh, verbose=True)
         write_loss_log(cfg.log_dir, "fit", model.loss_history["fit"])
 
     if args.save_path is not None:
         model.save_state_dict(args.save_path)
 
+    if prewarm is not None:
+        prewarm.join()
     sim = similarity_test(test_split, cfg, model=model, return_values=True)
     write_loss_log(cfg.log_dir, "transform",
                    model.loss_history.get("transform", []))

@@ -1,5 +1,6 @@
 """Evaluation: cross-modal cosine and kNN retrieval metrics."""
 
+from .prewarm import start_eval_prewarm
 from .trustworthiness import trustworthiness
 from .validation import (
     embed,
@@ -17,5 +18,6 @@ __all__ = [
     "knn_test",
     "recon",
     "similarity_test",
+    "start_eval_prewarm",
     "trustworthiness",
 ]

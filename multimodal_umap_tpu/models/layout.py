@@ -34,14 +34,16 @@ every edge-sized gradient aggregation:
     neighbor-gather backward, ~8 ms at flickr scale) -- measured cheaper
     than every scatter-free substitute tried (padded column-gather maps,
     transpose-ordered prefix scans);
-  * fit-mode repulsion negatives are drawn as one random permutation of
-    the rows per round, SHARED by the kept entries anchored at a row:
-    per-entry marginals stay uniform and the expected loss matches the
-    reference's iid draws exactly, while gradients become dense (N, D)
-    arithmetic plus an inverse-permutation reindex. (Deviation from the
-    reference's iid sampling: same-row entries share a round's
-    negative. The reference itself is randomized; parity gates are
-    statistical, SURVEY.md §4.)
+  * fit-mode repulsion negatives are rolls of ONE randomly permuted
+    copy of the embedding table (round r's negative for row i is
+    permuted[(i + off_r) % n]), SHARED by the kept entries anchored at
+    a row: per-entry marginals stay uniform and the expected loss
+    matches the reference's iid draws, while gradients become dense
+    (N, D) arithmetic plus one inverse-permutation reindex for all
+    rounds. (Deviation from the reference's iid sampling: same-row
+    entries share a round's negative and rounds share a permutation.
+    The reference itself is randomized; parity gates are statistical,
+    SURVEY.md §4.)
   * transform/invert keep the reference's iid negatives verbatim: their
     reference side is frozen, so no aggregation ever arises.
 
@@ -226,18 +228,25 @@ def _fit_modality_loss(
         return loss_attr
 
     # Row-level permutation negatives; each row's kept entries share the
-    # round's negative (see module docstring).
+    # round's negative (see module docstring). One permutation gather
+    # serves all ``num_rep`` rounds: round r's negative for row i is
+    # permuted[(i + off_r) % n], i.e. a contiguous roll of the permuted
+    # table -- uniform marginals per round at 1/num_rep the irregular
+    # traffic (and sorts) of fresh per-round permutations.
     rep_coef = rowcnt * inv_row  # (N,)
 
-    def fold_neg(acc, nk):
-        pi, pi_inv = random_permutation_pair(nk, static.rep_count)
-        neg = permutation_gather(embed, pi, pi_inv)
+    key_negperm, key_negoff = jax.random.split(key_neg)
+    pi, pi_inv = random_permutation_pair(key_negperm, static.rep_count)
+    permuted = permutation_gather(embed, pi, pi_inv)
+
+    def fold_neg(acc, off):
+        neg = jnp.roll(permuted, -off, axis=0)
         return acc + L.umap_rep(embed, neg, a, b), None
 
     rep_sum, _ = jax.lax.scan(
         fold_neg,
         jnp.zeros(n, dtype=jnp.float32),
-        jax.random.split(key_neg, num_rep),
+        jax.random.randint(key_negoff, (num_rep,), 0, static.rep_count),
     )
     loss_rep = jnp.sum(rep_coef * (rep_sum / num_rep))
     return loss_attr + loss_rep

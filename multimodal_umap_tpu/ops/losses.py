@@ -81,12 +81,20 @@ def infonce(
     the group means -- reproduced with a padded fixed-shape permutation
     so the last (short) group carries the same weight.
 
-    TPU note: negatives are drawn as rotations of one random permutation
-    (negative of anchor slot i in column c is q[(i + off_c) % num])
-    instead of iid uniform. Marginals stay uniform; the backward becomes
-    permutation/roll reindexing instead of a scatter-add
-    (ops/scatter_free.py rationale). The reference's own sampling is
-    randomized, so parity is statistical (SURVEY.md §4).
+    TPU notes (deviations whose marginals match the reference's; its own
+    sampling is randomized, so parity is statistical, SURVEY.md §4):
+
+    * negatives are drawn as rotations of one random permutation
+      (negative of anchor slot i in column c is q[(i + off_c) % num])
+      instead of iid uniform -- the backward becomes permutation/roll
+      reindexing instead of a scatter-add (ops/scatter_free.py);
+    * anchors/positives stay in row order rotated by one random offset
+      instead of fully permuted. The permutation only determines the
+      GROUPING for the mean-of-group-means (full groups of equal size
+      contribute exactly the global mean either way); the rotation
+      makes the short last group hit every row uniformly, matching the
+      reference's random upweighting marginals while replacing two
+      (num, D) gathers + their backward with cheap contiguous rolls.
 
     Returns the scalar loss (directional: anchors from ``embeds_0``).
     """
@@ -98,14 +106,19 @@ def infonce(
     num_groups = -(-num // group_size)
     padded = num_groups * group_size
 
-    key_perm, key_negperm, key_off = jax.random.split(key, 3)
-    perm, perm_inv = random_permutation_pair(key_perm, num)
+    key_rot, key_negperm, key_off = jax.random.split(key, 3)
     pad_mask = jnp.arange(padded) < num
 
-    anchors = _l2_normalize(permutation_gather(embeds_0[:num], perm, perm_inv))
-    positives = _l2_normalize(
-        permutation_gather(embeds_1[:num], perm, perm_inv)
-    )
+    if num % group_size == 0:
+        # Every group is full: mean-of-group-means == global mean for
+        # ANY ordering -- no rotation needed (static shape, free check).
+        rot = jnp.int32(0)
+        anchors = _l2_normalize(embeds_0[:num])
+        positives = _l2_normalize(embeds_1[:num])
+    else:
+        rot = jax.random.randint(key_rot, (), 0, num)
+        anchors = _l2_normalize(jnp.roll(embeds_0[:num], -rot, axis=0))
+        positives = _l2_normalize(jnp.roll(embeds_1[:num], -rot, axis=0))
     pos_sim = jnp.sum(anchors * positives, axis=1) / temperature
 
     q, q_inv = random_permutation_pair(key_negperm, num)
@@ -114,7 +127,9 @@ def infonce(
     neg_idx = (jnp.arange(num, dtype=jnp.int32)[:, None]
                + offsets[None, :]) % num  # (num, n_neg+1)
     neg_rows = q[neg_idx]  # actual negative row ids (int gather, no grad)
-    not_self = neg_rows != perm[:, None]
+    # Anchor slot i holds the row with natural id (i + rot) % num.
+    anchor_ids = (jnp.arange(num, dtype=jnp.int32) + rot) % num
+    not_self = neg_rows != anchor_ids[:, None]
     # Negative column c is the cyclic shift permuted_1[(i + off_c) % num]
     # == roll(permuted_1, -off_c). Rolling the ONCE-normalized table
     # instead of gathering (num, n_neg+1, D) copies keeps the backward a

@@ -112,3 +112,25 @@ def test_crossmodal_recon_with_vae_decode(fitted_model, cfg, tmp_path):
     assert not os.path.exists(os.path.join(out_dir, "recon_latents.npz"))
     pngs = [f for f in os.listdir(out_dir) if f.endswith(".png")]
     assert len(pngs) == 3
+
+
+def test_eval_prewarm_background_thread(fitted_model, cfg):
+    """The eval prewarm (eval/prewarm.py) must drive every eval program
+    on shape-identical dummy state without error, and the real eval must
+    still produce its deterministic values afterwards."""
+    from multimodal_umap_tpu.eval import start_eval_prewarm
+
+    model, data = fitted_model
+    test = {k: v[:48] for k, v in data.items()}
+    thread = start_eval_prewarm(
+        n_train=160, dims=(20, 4096), cfg=cfg, q_main=48, q_recon=4,
+        k_test=5,
+    )
+    thread.join(timeout=600)
+    assert not thread.is_alive()
+    assert thread.prewarm_status["error"] is None
+
+    # Real eval after prewarm: same deterministic metric values (the
+    # transform PRNG stream is seed-keyed, not cache-keyed).
+    sim = similarity_test(test, cfg, model=model, return_values=True)
+    assert sim > 0.5
