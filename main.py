@@ -70,6 +70,9 @@ def init_parser() -> argparse.Namespace:
     parser.add_argument("--mesh_devices", type=int, default=0,
                         help="Data-parallel mesh size (0 = all devices)")
     parser.add_argument("--seed", type=int, default=0, help="PRNG seed")
+    parser.add_argument("--spectral", type=str, default="auto",
+                        choices=["auto", "dense", "lobpcg", "chebyshev"],
+                        help="Spectral initializer (ops/spectral.py)")
     return parser.parse_args()
 
 
@@ -90,6 +93,7 @@ def main() -> None:
         test_epochs=args.test_epochs,
         log_dir=args.log_dir,
         seed=args.seed,
+        spectral_method=args.spectral,
     )
 
     if args.synthetic:

@@ -30,6 +30,9 @@ class Config:
         test_epochs: epochs for ``transform`` / ``inverse_transform``.
         log_dir: if set, per-epoch losses are written here as JSONL.
         seed: base PRNG seed for all stochastic stages.
+        spectral_method: spectral initializer -- "auto" (Chebyshev-
+            filtered Rayleigh-Ritz above the small-n dense guardrail),
+            "dense", "lobpcg", or "chebyshev" (ops/spectral.py).
     """
 
     k_neighbors: int = 15
@@ -46,3 +49,4 @@ class Config:
 
     log_dir: str | None = None
     seed: int = 0
+    spectral_method: str = "auto"

@@ -37,6 +37,7 @@ def train(data: dict, cfg: Config, mesh=None,
         num_encoders=len(tensors),
         seed=cfg.seed,
         mesh=mesh,
+        spectral_method=cfg.spectral_method,
     )
     model.fit(
         tensors,

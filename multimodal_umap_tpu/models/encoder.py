@@ -101,6 +101,7 @@ class ModalityEncoder:
     id: int = 0
     sigmas: jax.Array | None = None
     rhos: jax.Array | None = None
+    spectral_method: str = "auto"
 
     def fit_graph(
         self, features: jax.Array
@@ -117,7 +118,8 @@ class ModalityEncoder:
                           valid=edge_valid, num_rows=n, num_cols=n)
         dense = DenseSymGraph(nbrs=nbrs, weights=sym_w,
                               bwd_valid=bwd_valid, num_rows=n)
-        embed = spectral_embedding(graph, self.out_dim)
+        embed = spectral_embedding(graph, self.out_dim,
+                                   method=self.spectral_method)
         return graph, dense, embed
 
     def transform_graph(

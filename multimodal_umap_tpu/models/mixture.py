@@ -62,6 +62,7 @@ class MultimodalUMAP:
         num_encoders: int,
         seed: int = 0,
         mesh=None,
+        spectral_method: str = "auto",
     ):
         self.k_neighbors = k_neighbors
         self.out_dim = out_dim
@@ -71,11 +72,16 @@ class MultimodalUMAP:
         # Optional jax.sharding.Mesh: shards every O(N)/O(E) stage over
         # the data axis (see parallel/mesh.py). None => single device.
         self.mesh = mesh
+        # Spectral initializer: "auto" (Chebyshev-filtered Rayleigh-Ritz
+        # above the small-n dense guardrail), "dense", "lobpcg", or
+        # "chebyshev" (ops/spectral.py).
+        self.spectral_method = spectral_method
 
         self.a, self.b = self.get_ab_coeffs(min_dist)
 
         self.encoders = [
-            ModalityEncoder(k_neighbors, out_dim, id=i)
+            ModalityEncoder(k_neighbors, out_dim, id=i,
+                            spectral_method=spectral_method)
             for i in range(num_encoders)
         ]
         self.data: list[jax.Array] | None = None
@@ -438,6 +444,7 @@ class MultimodalUMAP:
         model.num_encoders = state["num_encoders"]
         model.seed = 0
         model.mesh = None
+        model.spectral_method = "auto"
         model.a = state["a"]
         model.b = state["b"]
         model.encoders = [

@@ -123,3 +123,18 @@ def test_transform_invert_verbose(blobs, capsys):
                             num_rep=2, lr=0.05, batch_size=64, verbose=True)
     text = capsys.readouterr().out
     assert "invert epoch 5/5" in text
+
+
+def test_spectral_method_knob(rng):
+    """spectral_method flows Config -> model -> encoders -> fit."""
+    x0 = rng.normal(size=(120, 12)).astype(np.float32)
+    x1 = rng.normal(size=(120, 10)).astype(np.float32)
+    model = MultimodalUMAP(6, 4, 0.1, num_encoders=2,
+                           spectral_method="chebyshev")
+    assert all(e.spectral_method == "chebyshev" for e in model.encoders)
+    model.fit([x0, x1], epochs=5, num_rep=2, lr=0.05, batch_size=64)
+    assert model.embeds[0].shape == (120, 4)
+
+    from multimodal_umap_tpu import Config
+
+    assert Config(spectral_method="lobpcg").spectral_method == "lobpcg"
