@@ -117,13 +117,20 @@ def run_flickr_scale(n_train: int = 31744, n_test: int = 1024) -> dict:
     )
     _sync(list(train.values()) + list(test.values()))
 
+    import jax
+
     t0 = time.perf_counter()
     # Overlap the eval programs' first-call costs (tracing +
     # compile-cache load, ~10 s host-side) with the device-bound fit.
-    prewarm = start_eval_prewarm(
-        n_train=n_train, dims=(768, 4096), cfg=cfg, q_main=n_test,
-        q_recon=16, k_test=1,
-    )
+    # CPU backend: skip -- fit is host-bound there and the prewarm
+    # compiles would contend with the very fit being timed.
+    prewarm = None
+    if jax.default_backend() != "cpu":
+        prewarm = start_eval_prewarm(
+            n_train=n_train, dims=(768, 4096), cfg=cfg, q_main=n_test,
+            q_recon=16, k_test=1,
+            data_arrays=[train[key] for key in train],
+        )
     model = MultimodalUMAP(cfg.k_neighbors, cfg.out_dim, cfg.min_dist,
                            num_encoders=2)
     model.fit([train[key] for key in train], epochs=cfg.train_epochs,
@@ -132,7 +139,8 @@ def run_flickr_scale(n_train: int = 31744, n_test: int = 1024) -> dict:
     _sync(model.embeds)
     t_fit = time.perf_counter() - t0
 
-    prewarm.join()
+    if prewarm is not None:
+        prewarm.join()
     t1 = time.perf_counter()
     sim = similarity_test(test, cfg, model=model, return_values=True)
     acc = knn_test(test, cfg, k=1, model=model, return_values=True)

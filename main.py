@@ -138,6 +138,7 @@ def main() -> None:
                 q_main=int(test_split[keys[0]].shape[0]),
                 q_recon=16,
                 k_test=args.k_test,
+                data_arrays=[train_split[k] for k in keys],
             )
         model = train(train_split, cfg, mesh=mesh, verbose=True)
         write_loss_log(cfg.log_dir, "fit", model.loss_history["fit"])

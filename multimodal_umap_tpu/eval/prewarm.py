@@ -7,13 +7,24 @@ layout 0.12 s, ``tools/profile_transform.py``), yet the phase costs
 work -- jit tracing, compile-cache deserialization, autotuning, first
 dispatch -- all host-side while ``fit`` keeps the device busy for tens
 of seconds. This module pays those costs on a background thread DURING
-fit by driving shape-identical dummy state through the same public
-eval entry points; the real eval then runs at executable-reuse speed.
+fit by driving the PUBLIC eval entry points (``similarity_test``,
+``knn_test``, ``embed_and_recon``) on a forged model whose state is
+shape-identical to the post-fit state; the real eval then runs at
+executable-reuse speed. Because the warm-up goes through the same
+functions the real eval calls, it cannot drift from the programs it
+exists to warm.
 
-The executables are keyed only on shapes and static config, so random
-dummy tensors warm exactly the programs the real eval will use. The
-added device work (a few query-sized layouts) is ~2 s interleaved with
-the ~40 s fit.
+Memory: the per-modality training tables are the big arrays at play
+(~0.5 GB at flickr scale); pass the REAL feature arrays as
+``data_arrays`` so the forged model aliases them instead of allocating
+dummy copies (executables are keyed on shapes, values are irrelevant;
+nothing in transform/invert mutates or donates the data tables). Only
+the (n_train, out_dim) embed tables and query batches are allocated
+fresh (~tens of MB).
+
+Skip the prewarm on the CPU backend: fit is host-bound there and the
+warm-up's compiles would contend with the run it is trying to speed up
+(every caller guards on ``jax.default_backend() != "cpu"``).
 
 No reference counterpart: the reference is eager torch with no
 compilation phase (SURVEY.md §2.9). This is XLA-specific pipelining.
@@ -39,15 +50,14 @@ def start_eval_prewarm(
     recon_src: int = 0,
     recon_dst: int = 1,
     seed: int = 0,
+    data_arrays: typing.Sequence[jax.Array] | None = None,
 ) -> threading.Thread:
     """Starts a daemon thread that warms every eval-phase executable.
 
     Call right before ``fit`` (the thread races fit's device work, which
     is the point); ``join()`` the returned thread before running the
-    real eval. Programs warmed: the all-modality transform at
-    ``q_main`` queries (similarity_test / knn_test re-embedding), both
-    jitted metrics, and the ``q_recon``-query transform + invert pair
-    (embed_and_recon / crossmodal app).
+    real eval. Programs warmed: everything ``similarity_test`` /
+    ``knn_test`` / ``embed_and_recon`` compile at these shapes.
 
     Args:
         n_train: training rows (reference-table shapes).
@@ -59,14 +69,14 @@ def start_eval_prewarm(
         k_test: the kNN metric's k (static arg of the recall program).
         recon_src / recon_dst: modality pair of the recon path.
         seed: PRNG seed for the dummy state (values are irrelevant).
+        data_arrays: the REAL per-modality training feature arrays, to
+            be aliased as the forged model's data (avoids duplicating
+            the largest tables in HBM). Shapes must be
+            ``(n_train, dims[i])``; falls back to fresh random arrays
+            when omitted.
     """
     from ..models.mixture import MultimodalUMAP
-    from .validation import (
-        _bidirectional_recall,
-        _mean_pairwise_cosine,
-        embed,
-        recon,
-    )
+    from .validation import embed_and_recon, knn_test, similarity_test
 
     status: dict = {"error": None}
 
@@ -77,13 +87,20 @@ def start_eval_prewarm(
                 cfg.k_neighbors, cfg.out_dim, cfg.min_dist, num_encoders=m,
                 seed=seed,
             )
-            keys = jax.random.split(jax.random.PRNGKey(seed), 3 * m)
+            keys = jax.random.split(jax.random.PRNGKey(seed), 2 * m)
             # Forge shape-identical fitted state (values irrelevant --
             # executables are keyed on shapes + static config only).
-            model.data = [
-                jax.random.normal(keys[i], (n_train, d), dtype=jnp.float32)
-                for i, d in enumerate(dims)
-            ]
+            if data_arrays is not None:
+                # jnp.asarray: aliases device f32 arrays (no copy);
+                # uploads host arrays once.
+                model.data = [jnp.asarray(x, dtype=jnp.float32)
+                              for x in data_arrays]
+            else:
+                model.data = [
+                    jax.random.normal(keys[i], (n_train, d),
+                                      dtype=jnp.float32)
+                    for i, d in enumerate(dims)
+                ]
             model.embeds = [
                 jax.random.normal(keys[m + i], (n_train, cfg.out_dim),
                                   dtype=jnp.float32)
@@ -92,33 +109,23 @@ def start_eval_prewarm(
             for enc in model.encoders:
                 enc.sigmas = jnp.ones((n_train,), dtype=jnp.float32)
                 enc.rhos = jnp.zeros((n_train,), dtype=jnp.float32)
-            tensors = [
-                jax.random.normal(keys[2 * m + i], (q_main, d),
-                                  dtype=jnp.float32)
+            test = {
+                f"modality_{i}": jax.random.normal(
+                    keys[i], (q_main, d), dtype=jnp.float32)
                 for i, d in enumerate(dims)
-            ]
+            }
 
-            # similarity_test / knn_test transform program + metrics.
-            embeds = embed(model, tensors, list(range(m)), cfg)
-            normed = jnp.stack([
-                e / jnp.maximum(
-                    jnp.linalg.norm(e, axis=1, keepdims=True), 1e-12)
-                for e in embeds
-            ])
-            float(_mean_pairwise_cosine(normed))
-            float(_bidirectional_recall(embeds[0], embeds[1], k_test))
-            if m > 2:
-                # knn_test re-embeds per PAIR: distinct statics from the
-                # all-modality program above (identical when m == 2).
-                for i in range(m):
-                    for j in range(i + 1, m):
-                        embed(model, [tensors[i], tensors[j]], [i, j], cfg)
-
-            # Crossmodal reconstruction pair (transform + invert at
-            # q_recon queries).
-            z = embed(model, [tensors[recon_src][:q_recon]], [recon_src],
-                      cfg)
-            recon(model, z, [recon_dst], cfg)
+            # The REAL eval entry points, silenced: whatever programs
+            # they trace/compile are by construction the ones the real
+            # eval will reuse.
+            similarity_test(test, cfg, model=model, return_values=True,
+                            quiet=True)
+            knn_test(test, cfg, k=k_test, model=model, return_values=True,
+                     quiet=True)
+            embed_and_recon(
+                model, [test[f"modality_{recon_src}"][:q_recon]],
+                [recon_src], [recon_dst], cfg,
+            )
         except Exception as exc:  # pragma: no cover - diagnostics only
             # Prewarm is an optimization; never let it kill the run.
             status["error"] = exc

@@ -108,10 +108,12 @@ def _mean_pairwise_cosine(stacked: jax.Array) -> jax.Array:
 
 def similarity_test(
     data: dict, cfg: Config, model: MultimodalUMAP,
-    return_values: bool = False,
+    return_values: bool = False, quiet: bool = False,
 ) -> float | None:
     """Average cross-modal cosine similarity after re-embedding
-    (reference impl/validation.py:7-38)."""
+    (reference impl/validation.py:7-38). ``quiet`` suppresses the
+    reference's printed readout (used by the eval prewarm, which
+    drives this exact function on dummy state)."""
     tensors = [data[key] for key in data]
     num_modes = len(tensors)
     embeds = embed(model, tensors, list(range(num_modes)), cfg)
@@ -120,7 +122,8 @@ def similarity_test(
          for e in embeds]
     )
     result = float(_mean_pairwise_cosine(normed))
-    print(f"Average cross-modal cosine similarity: {result:.4f}")
+    if not quiet:
+        print(f"Average cross-modal cosine similarity: {result:.4f}")
     if return_values:
         return result
     return None
@@ -143,7 +146,7 @@ def _bidirectional_recall(src: jax.Array, dst: jax.Array, k: int) -> jax.Array:
 
 def knn_test(
     data: dict, cfg: Config, k: int = 5, model: MultimodalUMAP | None = None,
-    return_values: bool = False,
+    return_values: bool = False, quiet: bool = False,
 ) -> float | None:
     """Bidirectional kNN retrieval accuracy @k, averaged over modality
     pairs (reference impl/validation.py:40-84). Each pair is re-embedded
@@ -156,7 +159,8 @@ def knn_test(
             embeds = embed(model, [tensors[i], tensors[j]], [i, j], cfg)
             accs.append(float(_bidirectional_recall(embeds[0], embeds[1], k)))
     result = float(np.mean(accs))
-    print(f"Average {k}-NN accuracy: {result:.4f}")
+    if not quiet:
+        print(f"Average {k}-NN accuracy: {result:.4f}")
     if return_values:
         return result
     return None

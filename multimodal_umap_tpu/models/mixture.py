@@ -423,6 +423,7 @@ class MultimodalUMAP:
                 "num_encoders": self.num_encoders,
                 "a": self.a,
                 "b": self.b,
+                "spectral_method": self.spectral_method,
                 "sigmas": [e.sigmas for e in self.encoders],
                 "rhos": [e.rhos for e in self.encoders],
                 "data": self.data,
@@ -444,11 +445,12 @@ class MultimodalUMAP:
         model.num_encoders = state["num_encoders"]
         model.seed = 0
         model.mesh = None
-        model.spectral_method = "auto"
+        model.spectral_method = state.get("spectral_method", "auto")
         model.a = state["a"]
         model.b = state["b"]
         model.encoders = [
-            ModalityEncoder(model.k_neighbors, model.out_dim, id=i)
+            ModalityEncoder(model.k_neighbors, model.out_dim, id=i,
+                            spectral_method=model.spectral_method)
             for i in range(model.num_encoders)
         ]
         for enc, sig, rho in zip(model.encoders, state["sigmas"], state["rhos"]):

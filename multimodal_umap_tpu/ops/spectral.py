@@ -187,6 +187,7 @@ def spectral_embedding(
         (N, out_dim) float32 spectral coordinates.
     """
     n = graph.num_rows
+    small_n = n < 4 * (out_dim + 1) + 4
     if method == "auto":
         # Chebyshev-filtered Rayleigh-Ritz by default: ~10x faster than
         # LOBPCG at 31k (1.3s vs ~15s warm on v5e) at equal-or-lower
@@ -194,7 +195,12 @@ def spectral_embedding(
         # eigh only below the small-n guardrail (the block needs room:
         # m = out_dim + 1 + guard <= n), where eigh is trivial anyway --
         # dense is pathologically slow on TPU at N>=2000 (QR iteration).
-        method = "dense" if n < 4 * (out_dim + 1) + 4 else "chebyshev"
+        method = "dense" if small_n else "chebyshev"
+    elif method == "chebyshev" and small_n:
+        # The filter block (out_dim + 1 + guard columns) needs room: a
+        # QR of a wide (n, m) block would silently return fewer than
+        # out_dim columns. Dense is exact and trivial at this size.
+        method = "dense"
     if method == "dense":
         return _spectral_dense(graph, out_dim)
     if method == "lobpcg":

@@ -41,6 +41,7 @@ def save_state(path: str, state: dict, compress: bool = False) -> None:
         "num_encoders": int(state["num_encoders"]),
         "a": float(state["a"]),
         "b": float(state["b"]),
+        "spectral_method": str(state.get("spectral_method", "auto")),
         "graph_shapes": [
             [g.num_rows, g.num_cols] for g in state["graphs"]
         ],
@@ -79,6 +80,8 @@ def load_state(path: str) -> dict:
             "num_encoders": n,
             "a": meta["a"],
             "b": meta["b"],
+            # Absent in schema-1 archives written before the knob.
+            "spectral_method": meta.get("spectral_method", "auto"),
             "sigmas": [],
             "rhos": [],
             "data": [],

@@ -73,3 +73,12 @@ def test_spectral_orthogonal_columns(rng):
     gram = emb.T @ emb
     off = gram - np.diag(np.diag(gram))
     assert np.abs(off).max() < 1e-3
+
+
+def test_chebyshev_small_n_falls_back_to_dense(rng):
+    """Explicit method="chebyshev" below the block-size guardrail must
+    still return out_dim columns (a wide-block QR would silently
+    truncate them); it falls back to the exact dense path."""
+    graph = _graph(rng, n=50, k=5)
+    out = spectral_embedding(graph, 16, method="chebyshev")
+    assert out.shape == (50, 16)

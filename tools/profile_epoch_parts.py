@@ -77,10 +77,13 @@ def main():
 
         params = tuple(jnp.array(e, copy=True) for e in inits)
         opt_state = optimizer.init(params)
-        keys = jax.random.split(jax.random.PRNGKey(1), epochs)
-        sync(run(params, opt_state, keys))  # compile + warm
+        # Distinct keys for warm vs timed run: identical-input jit
+        # calls are memoized on the axon tunnel (see memory notes).
+        sync(run(params, opt_state,
+                 jax.random.split(jax.random.PRNGKey(1), epochs)))
         t0 = time.perf_counter()
-        out = run(params, opt_state, keys)
+        out = run(params, opt_state,
+                  jax.random.split(jax.random.PRNGKey(2), epochs))
         sync(out)
         ms = (time.perf_counter() - t0) / epochs * 1e3
         print(f"{label:34s} {ms:6.1f} ms/epoch", flush=True)

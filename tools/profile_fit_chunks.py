@@ -74,10 +74,12 @@ def main():
             marks.append((done, now - last[0]))
             last[0] = now
 
+        # Distinct key per rep: identical-input jit calls are memoized
+        # on the axon tunnel (see memory notes).
         train_layout(inits, tasks, statics, mode="fit", epochs=epochs,
                      num_rep=cfg.num_rep, lr=cfg.lr, alpha=cfg.alpha,
                      batch_size=cfg.batch_size, a=model.a, b=model.b,
-                     key=jax.random.PRNGKey(0), chunk_callback=cb)
+                     key=jax.random.PRNGKey(100 + rep), chunk_callback=cb)
         print(f"rep {rep}: layout-only total {time.perf_counter() - t1:.1f}s"
               f"  chunks: {[(d, round(s, 2)) for d, s in marks]}",
               flush=True)

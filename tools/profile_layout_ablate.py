@@ -49,17 +49,19 @@ def main():
     tasks, statics = zip(*(fit_task(d, cfg.batch_size) for d in denses))
 
     def run(num_rep, alpha, epochs=200):
-        def go():
+        def go(seed):
+            # Distinct key per call: identical-input jit calls are
+            # memoized on the axon tunnel (see memory notes).
             t0 = time.perf_counter()
             embeds, _ = train_layout(
                 inits, tasks, statics, mode="fit", epochs=epochs,
                 num_rep=num_rep, lr=cfg.lr, alpha=alpha,
                 batch_size=cfg.batch_size, a=model.a, b=model.b,
-                key=jax.random.PRNGKey(1))
+                key=jax.random.PRNGKey(seed))
             sync(embeds)
             return time.perf_counter() - t0
-        go()  # warm (compile)
-        return go() / epochs * 1e3
+        go(1)  # warm (compile)
+        return go(2) / epochs * 1e3
 
     print(f"full (rep=8, alpha=1):  {run(8, 1.0):.1f} ms/epoch", flush=True)
     print(f"no negatives (rep=0):   {run(0, 1.0):.1f} ms/epoch", flush=True)

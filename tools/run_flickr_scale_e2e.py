@@ -53,10 +53,15 @@ def main():
     t0 = time.perf_counter()
     # Pay the eval programs' first-call costs (tracing + compile-cache
     # load) on a background thread while fit keeps the device busy.
-    prewarm = start_eval_prewarm(
-        n_train=n_train, dims=(768, 4096), cfg=cfg, q_main=n_test,
-        q_recon=16, k_test=1,
-    )
+    # CPU backend: skip (fit is host-bound there; the prewarm compiles
+    # would contend with the measured fit).
+    prewarm = None
+    if jax.default_backend() != "cpu":
+        prewarm = start_eval_prewarm(
+            n_train=n_train, dims=(768, 4096), cfg=cfg, q_main=n_test,
+            q_recon=16, k_test=1,
+            data_arrays=[train[k] for k in train],
+        )
     model = MultimodalUMAP(cfg.k_neighbors, cfg.out_dim, cfg.min_dist,
                            num_encoders=2)
     model.fit([train[k] for k in train], epochs=cfg.train_epochs,
@@ -68,7 +73,8 @@ def main():
           f"{ {k: round(v, 1) for k, v in model.timer.report().items()} }",
           flush=True)
 
-    prewarm.join()
+    if prewarm is not None:
+        prewarm.join()
     t1 = time.perf_counter()
     sim = similarity_test(test, cfg, model=model, return_values=True)
     t_sim = time.perf_counter() - t1
