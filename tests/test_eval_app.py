@@ -134,3 +134,18 @@ def test_eval_prewarm_background_thread(fitted_model, cfg):
     # transform PRNG stream is seed-keyed, not cache-keyed).
     sim = similarity_test(test, cfg, model=model, return_values=True)
     assert sim > 0.5
+
+
+def test_eval_prewarm_aliases_data_arrays(fitted_model, cfg):
+    """data_arrays lets the prewarm alias the caller's feature tables
+    (no dummy copies); the thread must still warm every program."""
+    from multimodal_umap_tpu.eval import start_eval_prewarm
+
+    model, data = fitted_model
+    thread = start_eval_prewarm(
+        n_train=160, dims=(20, 4096), cfg=cfg, q_main=48, q_recon=4,
+        k_test=5, data_arrays=[data["texts"], data["images"]],
+    )
+    thread.join(timeout=600)
+    assert not thread.is_alive()
+    assert thread.prewarm_status["error"] is None

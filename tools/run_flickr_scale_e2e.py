@@ -55,8 +55,11 @@ def main():
     # load) on a background thread while fit keeps the device busy.
     # CPU backend: skip (fit is host-bound there; the prewarm compiles
     # would contend with the measured fit).
+    import os
+
     prewarm = None
-    if jax.default_backend() != "cpu":
+    if (jax.default_backend() != "cpu"
+            and os.environ.get("MMUMAP_PREWARM", "1") != "0"):
         prewarm = start_eval_prewarm(
             n_train=n_train, dims=(768, 4096), cfg=cfg, q_main=n_test,
             q_recon=16, k_test=1,
