@@ -177,15 +177,19 @@ def measure_knn_mfu(n: int = 31744, d: int = 4096, k: int = 15,
                                     seed=2)["texts"]
     # Warm: compile + first run.
     _sync(knn(x, x, k, exclude_self=True))
-    t0 = time.perf_counter()
+    # Best-of-reps, each individually synced: the axon tunnel stalls
+    # intermittently (seconds-long RPC hiccups), and a mean would
+    # report the tunnel, not the kernel.
+    elapsed = float("inf")
     prev = x
     for _ in range(reps):
+        t0 = time.perf_counter()
         # Chain the input through iterations: identical-input jit calls
         # are memoized on the axon tunnel (see memory notes).
         dists, _ = knn(prev, x, k, exclude_self=True)
         prev = prev + 0.0 * dists[:, :1].mean() * jnp.ones_like(prev[:1])
-    _sync(prev)
-    elapsed = (time.perf_counter() - t0) / reps
+        _sync(prev)
+        elapsed = min(elapsed, time.perf_counter() - t0)
     flops = 2.0 * n * n * d
     tflops = flops / elapsed / 1e12
     return {
