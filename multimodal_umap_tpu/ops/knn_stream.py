@@ -12,10 +12,14 @@ analogue:
   too; each (row_block, col_block) panel merges into a running
   per-row k-best via concat + ``lax.top_k`` over 2k candidates. Peak
   memory is ``row_block * col_block`` + ``row_block * 2k``, independent
-  of N. A scan-carried merge was measured 20x slower to compile at no
-  runtime win, so the block loop stays at host level, reusing one
-  compiled program per (shape, k) -- every block hits the same
-  executable.
+  of N. Both block loops are ``lax.scan``s inside ONE compiled
+  program: at 262k the host-driven variant issued 256 panel dispatches
+  whose per-RPC tunnel latency dominated the sweep (minutes of wall
+  for ~20 s of panel math); the scanned form is a single dispatch.
+  (Round 1 measured a scan-carried merge "20x slower to compile at no
+  runtime win" -- that held at 31k where 4 full-width panels saturate
+  the device; past the 4 GiB panel threshold the dispatch count grows
+  as (N/row_block)*(N/col_block) and the trade inverts.)
 
 * :func:`knn_ring` -- multi-chip: queries AND references both row-shard
   across the mesh (no replicated table). Each device computes its query
@@ -68,8 +72,7 @@ def _merge_topk(
     return -neg_d, jnp.take_along_axis(i_all, sel, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "exclude_self"))
-def _stream_step(
+def _panel_merge(
     q_blk: jax.Array,
     r_blk: jax.Array,
     row_offset: jax.Array,
@@ -94,6 +97,55 @@ def _stream_step(
     c = min(k, r_blk.shape[0])
     neg_d, ids = jax.lax.top_k(-panel, c)
     return _merge_topk(best_d, best_i, -neg_d, cols[ids], k)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "exclude_self", "row_block", "col_block"),
+)
+def _stream_all(
+    q: jax.Array,
+    r: jax.Array,
+    num_valid_cols: jax.Array,
+    k: int,
+    exclude_self: bool,
+    row_block: int,
+    col_block: int,
+) -> tuple[jax.Array, jax.Array]:
+    """The full block sweep as nested ``lax.scan``s -- ONE dispatch.
+
+    ``q``/``r`` must already be padded to block multiples; reshaping to
+    (blocks, block, D) is layout-free, so the scans stream slices of
+    the original tables without copies.
+    """
+    n_rb = q.shape[0] // row_block
+    n_cb = r.shape[0] // col_block
+    q_blocks = q.reshape(n_rb, row_block, q.shape[1])
+    r_blocks = r.reshape(n_cb, col_block, r.shape[1])
+    row_offs = jnp.arange(n_rb, dtype=jnp.int32) * row_block
+    col_offs = jnp.arange(n_cb, dtype=jnp.int32) * col_block
+
+    def row_step(_, rx):
+        q_blk, row_off = rx
+
+        def col_step(carry, cx):
+            r_blk, col_off = cx
+            return _panel_merge(
+                q_blk, r_blk, row_off, col_off, num_valid_cols,
+                carry[0], carry[1], k, exclude_self,
+            ), None
+
+        init = (
+            jnp.full((row_block, k), _INF),
+            jnp.full((row_block, k), -1, dtype=jnp.int32),
+        )
+        (best_d, best_i), _ = jax.lax.scan(
+            col_step, init, (r_blocks, col_offs)
+        )
+        return None, (best_d, best_i)
+
+    _, (d, i) = jax.lax.scan(row_step, None, (q_blocks, row_offs))
+    return d.reshape(-1, k), i.reshape(-1, k)
 
 
 def knn_streamed(
@@ -125,26 +177,10 @@ def knn_streamed(
     if n_cb * col_block != num_r:
         r = jnp.pad(r, ((0, n_cb * col_block - num_r), (0, 0)))
 
-    nv = jnp.int32(num_r)
-    d_parts, i_parts = [], []
-    for rb in range(n_rb):
-        q_blk = jax.lax.dynamic_slice_in_dim(q, rb * row_block, row_block)
-        best_d = jnp.full((row_block, k), _INF)
-        best_i = jnp.full((row_block, k), -1, dtype=jnp.int32)
-        for cb in range(n_cb):
-            r_blk = jax.lax.dynamic_slice_in_dim(
-                r, cb * col_block, col_block
-            )
-            best_d, best_i = _stream_step(
-                q_blk, r_blk,
-                jnp.int32(rb * row_block), jnp.int32(cb * col_block),
-                nv, best_d, best_i, k, exclude_self,
-            )
-        d_parts.append(best_d)
-        i_parts.append(best_i)
-    dists = jnp.sqrt(jnp.concatenate(d_parts)[:num_q])
-    ids = jnp.concatenate(i_parts)[:num_q]
-    return dists, ids
+    best_d, best_i = _stream_all(
+        q, r, jnp.int32(num_r), k, exclude_self, row_block, col_block
+    )
+    return jnp.sqrt(best_d[:num_q]), best_i[:num_q]
 
 
 def knn_ring(
