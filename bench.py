@@ -117,20 +117,15 @@ def run_flickr_scale(n_train: int = 31744, n_test: int = 1024) -> dict:
     )
     _sync(list(train.values()) + list(test.values()))
 
-    import jax
-
     t0 = time.perf_counter()
     # Overlap the eval programs' first-call costs (tracing +
     # compile-cache load, ~10 s host-side) with the device-bound fit.
-    # CPU backend: skip -- fit is host-bound there and the prewarm
-    # compiles would contend with the very fit being timed.
-    prewarm = None
-    if jax.default_backend() != "cpu":
-        prewarm = start_eval_prewarm(
-            n_train=n_train, dims=(768, 4096), cfg=cfg, q_main=n_test,
-            q_recon=16, k_test=1,
-            data_arrays=[train[key] for key in train],
-        )
+    # Returns None (skipped) on CPU or under MMUMAP_PREWARM=0.
+    prewarm = start_eval_prewarm(
+        n_train=n_train, dims=(768, 4096), cfg=cfg, q_main=n_test,
+        q_recon=16, k_test=1,
+        data_arrays=[train[key] for key in train],
+    )
     model = MultimodalUMAP(cfg.k_neighbors, cfg.out_dim, cfg.min_dist,
                            num_encoders=2)
     model.fit([train[key] for key in train], epochs=cfg.train_epochs,
@@ -181,7 +176,10 @@ def measure_knn_mfu(n: int = 31744, d: int = 4096, k: int = 15,
     # intermittently (seconds-long RPC hiccups), and a mean would
     # report the tunnel, not the kernel.
     elapsed = float("inf")
-    prev = x
+    # Perturb before the first rep: rep 0 must not alias the warm call's
+    # inputs (identical-input calls are memoized on the tunnel, and
+    # min() would make a memoized rep the reported time).
+    prev = x + 0.0 * x[:1]
     for _ in range(reps):
         t0 = time.perf_counter()
         # Chain the input through iterations: identical-input jit calls

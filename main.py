@@ -120,14 +120,12 @@ def main() -> None:
     if args.load_pretrained == "yes":
         model = MultimodalUMAP.load_state_dict(args.save_path)
     else:
-        import jax
-
-        if mesh is None and jax.default_backend() != "cpu":
+        if mesh is None:
             # Warm the eval executables on a background thread while fit
-            # keeps the device busy (eval/prewarm.py). Mesh runs skip it
-            # (their executables are keyed on shardings the dummy model
-            # does not carry); CPU runs skip it too -- fit is then
-            # host-bound and the prewarm compiles would contend with it.
+            # keeps the device busy (eval/prewarm.py; returns None --
+            # skipped -- on CPU or under MMUMAP_PREWARM=0). Mesh runs
+            # skip it here: their executables are keyed on shardings
+            # the dummy model does not carry.
             from multimodal_umap_tpu.eval import start_eval_prewarm
 
             keys = list(train_split)

@@ -22,9 +22,11 @@ nothing in transform/invert mutates or donates the data tables). Only
 the (n_train, out_dim) embed tables and query batches are allocated
 fresh (~tens of MB).
 
-Skip the prewarm on the CPU backend: fit is host-bound there and the
-warm-up's compiles would contend with the run it is trying to speed up
-(every caller guards on ``jax.default_backend() != "cpu"``).
+:func:`start_eval_prewarm` returns ``None`` (no thread) on the CPU
+backend -- fit is host-bound there and the warm-up's compiles would
+contend with the run it is trying to speed up -- and when
+``MMUMAP_PREWARM=0`` is set (the cold-compile-isolation kill-switch,
+BASELINE.md). Callers just ``if thread is not None: thread.join()``.
 
 No reference counterpart: the reference is eager torch with no
 compilation phase (SURVEY.md §2.9). This is XLA-specific pipelining.
@@ -32,6 +34,7 @@ compilation phase (SURVEY.md §2.9). This is XLA-specific pipelining.
 
 from __future__ import annotations
 
+import os
 import threading
 import typing
 
@@ -51,7 +54,8 @@ def start_eval_prewarm(
     recon_dst: int = 1,
     seed: int = 0,
     data_arrays: typing.Sequence[jax.Array] | None = None,
-) -> threading.Thread:
+    force: bool = False,
+) -> threading.Thread | None:
     """Starts a daemon thread that warms every eval-phase executable.
 
     Call right before ``fit`` (the thread races fit's device work, which
@@ -77,6 +81,28 @@ def start_eval_prewarm(
     """
     from ..models.mixture import MultimodalUMAP
     from .validation import embed_and_recon, knn_test, similarity_test
+
+    if not force and (
+        jax.default_backend() == "cpu"
+        or os.environ.get("MMUMAP_PREWARM", "1") == "0"
+    ):
+        # CPU: fit is host-bound and the warm-up compiles would contend
+        # with it. MMUMAP_PREWARM=0: cold-compile isolation. ``force``
+        # exists for tests, which exercise the worker on CPU.
+        return None
+    if data_arrays is not None:
+        if len(data_arrays) != len(dims):
+            raise ValueError(
+                f"data_arrays has {len(data_arrays)} entries for "
+                f"{len(dims)} modalities"
+            )
+        for i, (x, d) in enumerate(zip(data_arrays, dims)):
+            if tuple(x.shape) != (n_train, d):
+                raise ValueError(
+                    f"data_arrays[{i}] shape {tuple(x.shape)} != "
+                    f"({n_train}, {d}) -- wrong order or size would warm "
+                    f"programs the real eval never uses"
+                )
 
     status: dict = {"error": None}
 
@@ -120,8 +146,19 @@ def start_eval_prewarm(
             # eval will reuse.
             similarity_test(test, cfg, model=model, return_values=True,
                             quiet=True)
-            knn_test(test, cfg, k=k_test, model=model, return_values=True,
-                     quiet=True)
+            if m > 2:
+                # knn_test's per-pair re-embedding uses the same
+                # executable as similarity's all-modality call when
+                # m == 2 -- rerunning it would only race the timed fit
+                # on the device.
+                knn_test(test, cfg, k=k_test, model=model,
+                         return_values=True, quiet=True)
+            else:
+                # Still warm the recall metric program itself (tiny).
+                from .validation import _bidirectional_recall
+
+                z0 = jnp.zeros((q_main, cfg.out_dim), dtype=jnp.float32)
+                float(_bidirectional_recall(z0, z0, k_test))
             embed_and_recon(
                 model, [test[f"modality_{recon_src}"][:q_recon]],
                 [recon_src], [recon_dst], cfg,

@@ -124,7 +124,7 @@ def test_eval_prewarm_background_thread(fitted_model, cfg):
     test = {k: v[:48] for k, v in data.items()}
     thread = start_eval_prewarm(
         n_train=160, dims=(20, 4096), cfg=cfg, q_main=48, q_recon=4,
-        k_test=5,
+        k_test=5, force=True,
     )
     thread.join(timeout=600)
     assert not thread.is_alive()
@@ -145,7 +145,26 @@ def test_eval_prewarm_aliases_data_arrays(fitted_model, cfg):
     thread = start_eval_prewarm(
         n_train=160, dims=(20, 4096), cfg=cfg, q_main=48, q_recon=4,
         k_test=5, data_arrays=[data["texts"], data["images"]],
+        force=True,
     )
     thread.join(timeout=600)
     assert not thread.is_alive()
     assert thread.prewarm_status["error"] is None
+
+
+def test_eval_prewarm_skips_on_cpu_and_validates_data(fitted_model, cfg):
+    """Without force, the CPU backend skips the prewarm entirely (the
+    warm-up would contend with a host-bound fit); mismatched
+    data_arrays fail fast instead of warming wrong-shape programs."""
+    from multimodal_umap_tpu.eval import start_eval_prewarm
+
+    assert start_eval_prewarm(
+        n_train=160, dims=(20, 4096), cfg=cfg, q_main=48) is None
+
+    model, data = fitted_model
+    with pytest.raises(ValueError, match="wrong order or size"):
+        start_eval_prewarm(
+            n_train=160, dims=(20, 4096), cfg=cfg, q_main=48,
+            data_arrays=[data["images"], data["texts"]],  # reversed
+            force=True,
+        )

@@ -53,18 +53,12 @@ def main():
     t0 = time.perf_counter()
     # Pay the eval programs' first-call costs (tracing + compile-cache
     # load) on a background thread while fit keeps the device busy.
-    # CPU backend: skip (fit is host-bound there; the prewarm compiles
-    # would contend with the measured fit).
-    import os
-
-    prewarm = None
-    if (jax.default_backend() != "cpu"
-            and os.environ.get("MMUMAP_PREWARM", "1") != "0"):
-        prewarm = start_eval_prewarm(
-            n_train=n_train, dims=(768, 4096), cfg=cfg, q_main=n_test,
-            q_recon=16, k_test=1,
-            data_arrays=[train[k] for k in train],
-        )
+    # Returns None (skipped) on CPU or under MMUMAP_PREWARM=0.
+    prewarm = start_eval_prewarm(
+        n_train=n_train, dims=(768, 4096), cfg=cfg, q_main=n_test,
+        q_recon=16, k_test=1,
+        data_arrays=[train[k] for k in train],
+    )
     model = MultimodalUMAP(cfg.k_neighbors, cfg.out_dim, cfg.min_dist,
                            num_encoders=2)
     model.fit([train[k] for k in train], epochs=cfg.train_epochs,
