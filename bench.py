@@ -96,7 +96,15 @@ def run_small(n: int, epochs: int, k: int, out_dim: int,
 
 def run_flickr_scale(n_train: int = 31744, n_test: int = 1024) -> dict:
     """North-star run: flickr geometry, canonical CLI hyperparameters,
-    fit + full cross-modal eval, on the attached chip."""
+    fit + full cross-modal eval, on the attached chip.
+
+    Dataset (VERDICT r2 task 4): clusters share a per-row latent across
+    modalities (latent_dim=16) with enough clusters/noise that cosine
+    does NOT saturate and per-row retrieval carries signal beyond
+    cluster recovery -- so all three quality metrics (cosine, knn@1,
+    recon MSE) plus trustworthiness are informative, and the floor
+    gates below catch scale-only regressions the small-N parity gates
+    cannot see."""
     from multimodal_umap_tpu import Config, MultimodalUMAP
     from multimodal_umap_tpu.data.synthetic import (
         clustered_modalities_device,
@@ -107,14 +115,17 @@ def run_flickr_scale(n_train: int = 31744, n_test: int = 1024) -> dict:
         similarity_test,
         start_eval_prewarm,
     )
+    from multimodal_umap_tpu.eval.trustworthiness import (
+        trustworthiness_sampled,
+    )
 
     cfg = Config()  # canonical reference CLI defaults
-    train = clustered_modalities_device(
-        n_train, dims=(768, 4096), n_clusters=256, seed=0, centers_seed=0
+    data_kw = dict(
+        dims=(768, 4096), n_clusters=512, centers_seed=0,
+        noise_scale=2.0, latent_dim=16, latent_scale=2.0,
     )
-    test = clustered_modalities_device(
-        n_test, dims=(768, 4096), n_clusters=256, seed=1, centers_seed=0
-    )
+    train = clustered_modalities_device(n_train, seed=0, **data_kw)
+    test = clustered_modalities_device(n_test, seed=1, **data_kw)
     _sync(list(train.values()) + list(test.values()))
 
     t0 = time.perf_counter()
@@ -145,6 +156,22 @@ def run_flickr_scale(n_train: int = 31744, n_test: int = 1024) -> dict:
     ))
     t_eval = time.perf_counter() - t1
 
+    # Trustworthiness of the fit embeddings (row-sampled estimator);
+    # outside the timed eval window -- it is a bench-only diagnostic,
+    # not part of the reference's eval workflow.
+    trust = [
+        trustworthiness_sampled(model.data[i], model.embeds[i], k=10)
+        for i in range(2)
+    ]
+
+    # Floor gates (VERDICT r2 task 4): knn@1 >= 20x the random-pairing
+    # rate (k_test / n_test) and trustworthiness >= 0.95 per modality.
+    # A scale-only quality regression trips these even when the small-N
+    # parity gates stay green.
+    gates_ok = bool(
+        acc >= 20.0 * (1.0 / n_test) and min(trust) >= 0.95
+    )
+
     return {
         "fit_s": t_fit,
         "eval_s": t_eval,
@@ -152,6 +179,8 @@ def run_flickr_scale(n_train: int = 31744, n_test: int = 1024) -> dict:
         "cosine": sim,
         "knn1": acc,
         "recon_mse": mse,
+        "trust": trust,
+        "quality_gates_ok": gates_ok,
         "phases": {k: round(v, 2) for k, v in model.timer.report().items()},
     }
 
@@ -280,6 +309,8 @@ def main() -> None:
     )
 
     if not args.small:
+        from multimodal_umap_tpu.ops.knn import resolve_engine
+
         flickr = run_flickr_scale()
         knn_mfu = measure_knn_mfu()
         layout = measure_layout_epoch()
@@ -289,6 +320,11 @@ def main() -> None:
             "flickr31k_e2e_s": round(flickr["e2e_s"], 1),
             "flickr31k_pass_5min": flickr["e2e_s"] < 300.0,
             "flickr31k_cosine": round(flickr["cosine"], 4),
+            "flickr31k_knn1": round(flickr["knn1"], 4),
+            "flickr31k_recon_mse": round(flickr["recon_mse"], 4),
+            "flickr31k_trust": [round(t, 4) for t in flickr["trust"]],
+            "flickr31k_quality_ok": flickr["quality_gates_ok"],
+            "knn_engine": resolve_engine(),
             "knn31k_tflops": round(knn_mfu["tflops"], 1),
             "knn31k_mfu_pct": round(knn_mfu["mfu_pct"], 1),
             "layout_epoch_ms": round(layout["epoch_ms"], 1),
@@ -297,6 +333,14 @@ def main() -> None:
         print(f"# flickr31k phases: {flickr['phases']}", file=sys.stderr)
 
     print(json.dumps(record))
+    if not args.small and not flickr["quality_gates_ok"]:
+        # Gates are part of the bench contract: fail loudly AFTER the
+        # JSON line so the driver still records the numbers.
+        raise AssertionError(
+            f"31k quality floor gates failed: knn1={flickr['knn1']:.4f} "
+            f"(floor {20.0 / 1024:.4f}), trust={flickr['trust']} "
+            f"(floor 0.95)"
+        )
 
 
 if __name__ == "__main__":

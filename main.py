@@ -73,6 +73,11 @@ def init_parser() -> argparse.Namespace:
     parser.add_argument("--spectral", type=str, default="auto",
                         choices=["auto", "dense", "lobpcg", "chebyshev"],
                         help="Spectral initializer (ops/spectral.py)")
+    parser.add_argument("--knn_engine", type=str, default="auto",
+                        choices=["auto", "bf16", "xla", "pallas",
+                                 "approx", "stream"],
+                        help="kNN engine (ops/knn.py; auto = backend "
+                             "default: bf16 on TPU, xla on CPU)")
     return parser.parse_args()
 
 
@@ -94,6 +99,7 @@ def main() -> None:
         log_dir=args.log_dir,
         seed=args.seed,
         spectral_method=args.spectral,
+        knn_engine=None if args.knn_engine == "auto" else args.knn_engine,
     )
 
     if args.synthetic:
@@ -156,9 +162,15 @@ def main() -> None:
         import os
 
         os.makedirs(cfg.log_dir, exist_ok=True)
+        from multimodal_umap_tpu.ops.knn import resolve_engine
+
         with open(os.path.join(cfg.log_dir, "metrics.json"), "w") as f:
             json.dump({"cosine_similarity": sim,
-                       f"knn_accuracy@{args.k_test}": acc}, f, indent=2)
+                       f"knn_accuracy@{args.k_test}": acc,
+                       "knn_engine": resolve_engine(cfg.knn_engine),
+                       "spectral_method": cfg.spectral_method,
+                       "mesh_devices": 1 if mesh is None
+                       else int(mesh.devices.size)}, f, indent=2)
 
     if args.crossmodal == "yes":
         rng = np.random.default_rng(args.seed)

@@ -33,6 +33,9 @@ class Config:
         spectral_method: spectral initializer -- "auto" (Chebyshev-
             filtered Rayleigh-Ritz above the small-n dense guardrail),
             "dense", "lobpcg", or "chebyshev" (ops/spectral.py).
+        knn_engine: kNN engine (ops/knn.py) -- None = backend default
+            (bf16 panel + exact f32 re-score on TPU, f32-highest on
+            CPU); or "bf16" / "xla" / "pallas" / "approx" / "stream".
     """
 
     k_neighbors: int = 15
@@ -50,3 +53,4 @@ class Config:
     log_dir: str | None = None
     seed: int = 0
     spectral_method: str = "auto"
+    knn_engine: str | None = None

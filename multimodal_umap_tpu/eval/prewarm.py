@@ -155,10 +155,10 @@ def start_eval_prewarm(
                          return_values=True, quiet=True)
             else:
                 # Still warm the recall metric program itself (tiny).
-                from .validation import _bidirectional_recall
+                from .validation import bidirectional_recall
 
                 z0 = jnp.zeros((q_main, cfg.out_dim), dtype=jnp.float32)
-                float(_bidirectional_recall(z0, z0, k_test))
+                float(bidirectional_recall(z0, z0, k_test))
             embed_and_recon(
                 model, [test[f"modality_{recon_src}"][:q_recon]],
                 [recon_src], [recon_dst], cfg,

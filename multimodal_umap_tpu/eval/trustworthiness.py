@@ -54,3 +54,68 @@ def trustworthiness(
 
     _, emb_nbrs = knn(embedding, embedding, k, exclude_self=True)
     return float(_trust_from_ranks(orig_ranks, emb_nbrs, k))
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _trust_rows(x_s, x, e_s, e, rows, k):
+    """Per-sampled-row intrusion penalties (see trustworthiness_sampled).
+
+    Computes, for each sampled anchor row, the original-space rank of
+    its k embedding-space neighbors; self-matches are masked via
+    ``rows``.
+    """
+    s = x_s.shape[0]
+    n = x.shape[0]
+    d_o = (
+        jnp.sum(x_s * x_s, 1)[:, None]
+        + jnp.sum(x * x, 1)[None, :]
+        - 2.0 * x_s @ x.T
+    )
+    d_o = jnp.where(
+        jnp.arange(n)[None, :] == rows[:, None], jnp.inf, d_o
+    )
+    order = jnp.argsort(d_o, axis=1)
+    orig_ranks = jnp.argsort(order, axis=1)  # (s, n): id -> rank
+
+    d_e = (
+        jnp.sum(e_s * e_s, 1)[:, None]
+        + jnp.sum(e * e, 1)[None, :]
+        - 2.0 * e_s @ e.T
+    )
+    d_e = jnp.where(
+        jnp.arange(n)[None, :] == rows[:, None], jnp.inf, d_e
+    )
+    _, emb_nbrs = jax.lax.top_k(-d_e, k)  # (s, k)
+    ranks_of_emb = jnp.take_along_axis(orig_ranks, emb_nbrs, axis=1)
+    penalty = jnp.maximum(ranks_of_emb - (k - 1), 0)
+    return jnp.sum(penalty) / s
+
+
+def trustworthiness_sampled(
+    originals: jax.Array,
+    embedding: jax.Array,
+    k: int = 10,
+    sample_rows: int = 4096,
+    seed: int = 0,
+) -> float:
+    """Unbiased row-sampled estimate of :func:`trustworthiness`.
+
+    The exact score needs a full (n, n) ranking (4+ GB at flickr
+    scale); sampling S anchor rows keeps the (S, n) panels device-sized
+    while the per-anchor penalty statistic stays exactly the full
+    formula's, so the estimate is unbiased with O(1/sqrt(S)) noise.
+    Used by the driver bench's 31k quality gates (VERDICT r2 task 4).
+    """
+    n = originals.shape[0]
+    if not 0 < k < n / 2:
+        raise ValueError(f"k={k} must be in (0, n/2) for n={n}")
+    x = jnp.asarray(originals, dtype=jnp.float32)
+    e = jnp.asarray(embedding, dtype=jnp.float32)
+    if sample_rows >= n:
+        return trustworthiness(originals, embedding, k)
+    rows = jax.random.choice(
+        jax.random.PRNGKey(seed), n, (sample_rows,), replace=False
+    )
+    mean_penalty = _trust_rows(x[rows], x, e[rows], e, rows, k)
+    denom = k * (2 * n - 3 * k - 1)
+    return float(1.0 - 2.0 * mean_penalty / denom)

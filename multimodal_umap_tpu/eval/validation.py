@@ -38,6 +38,7 @@ def train(data: dict, cfg: Config, mesh=None,
         seed=cfg.seed,
         mesh=mesh,
         spectral_method=cfg.spectral_method,
+        knn_engine=cfg.knn_engine,
     )
     model.fit(
         tensors,
@@ -130,10 +131,11 @@ def similarity_test(
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def _bidirectional_recall(src: jax.Array, dst: jax.Array, k: int) -> jax.Array:
+def bidirectional_recall(src: jax.Array, dst: jax.Array, k: int) -> jax.Array:
     """Fraction of rows whose paired row lands in the cross-modal top-k,
     averaged over both directions -- one blocked kNN per direction
-    instead of the reference's per-row Python loop."""
+    instead of the reference's per-row Python loop. Public surface:
+    the eval prewarm warms this exact program during fit."""
     n = src.shape[0]
     _, fwd = knn(src, dst, k)
     _, bwd = knn(dst, src, k)
@@ -157,7 +159,7 @@ def knn_test(
     for i in range(num_modes):
         for j in range(i + 1, num_modes):
             embeds = embed(model, [tensors[i], tensors[j]], [i, j], cfg)
-            accs.append(float(_bidirectional_recall(embeds[0], embeds[1], k)))
+            accs.append(float(bidirectional_recall(embeds[0], embeds[1], k)))
     result = float(np.mean(accs))
     if not quiet:
         print(f"Average {k}-NN accuracy: {result:.4f}")

@@ -63,6 +63,7 @@ class MultimodalUMAP:
         seed: int = 0,
         mesh=None,
         spectral_method: str = "auto",
+        knn_engine: str | None = None,
     ):
         self.k_neighbors = k_neighbors
         self.out_dim = out_dim
@@ -76,12 +77,16 @@ class MultimodalUMAP:
         # above the small-n dense guardrail), "dense", "lobpcg", or
         # "chebyshev" (ops/spectral.py).
         self.spectral_method = spectral_method
+        # kNN engine (ops/knn.py); None = backend default (bf16 panel +
+        # exact f32 re-score on TPU, f32-highest panels on CPU).
+        self.knn_engine = knn_engine
 
         self.a, self.b = self.get_ab_coeffs(min_dist)
 
         self.encoders = [
             ModalityEncoder(k_neighbors, out_dim, id=i,
-                            spectral_method=spectral_method)
+                            spectral_method=spectral_method,
+                            knn_engine=knn_engine)
             for i in range(num_encoders)
         ]
         self.data: list[jax.Array] | None = None
@@ -145,7 +150,7 @@ class MultimodalUMAP:
         graphs, denses, inits = [], [], []
         for i, (enc, feats) in enumerate(zip(self.encoders, self.data)):
             with self.timer.phase(f"fit/graph_{i}"):
-                graph, dense, init = enc.fit_graph(feats)
+                graph, dense, init = enc.fit_graph(feats, mesh=self.mesh)
             graphs.append(graph)
             denses.append(dense)
             inits.append(init)
@@ -277,14 +282,17 @@ class MultimodalUMAP:
             raise ValueError("inputs and data_indices length mismatch")
 
         plan = self._plan()
-        tasks, statics, inits = [], [], []
+        tasks, statics, inits, true_rows = [], [], [], []
         for q, enc_idx in zip(queries, indices):
             enc = self.encoders[enc_idx]
+            q, n_q = self._pad_query(q, plan)
             if plan is not None:
                 q = plan.rows(q)
             nbrs, weights, init = enc.transform_graph(
-                q, self.data[enc_idx], self.embeds[enc_idx]
+                q, self.data[enc_idx], self.embeds[enc_idx],
+                mesh=self.mesh,
             )
+            weights = self._mask_padded(weights, n_q)
             task, static = query_task(
                 nbrs, weights, batch_size, ref=self.embeds[enc_idx]
             )
@@ -293,6 +301,7 @@ class MultimodalUMAP:
             tasks.append(task)
             statics.append(static)
             inits.append(init)
+            true_rows.append(n_q)
 
         embeds, hist = train_layout(
             inits,
@@ -311,7 +320,7 @@ class MultimodalUMAP:
                                                   verbose),
         )
         self.loss_history["transform"] = np.asarray(hist)
-        return embeds
+        return [e[:n] for e, n in zip(embeds, true_rows)]
 
     def inverse_transform(
         self,
@@ -344,9 +353,10 @@ class MultimodalUMAP:
             raise ValueError("inputs and data_indices length mismatch")
 
         plan = self._plan()
-        tasks, statics, inits = [], [], []
+        tasks, statics, inits, true_rows = [], [], [], []
         for z, enc_idx in zip(queries, indices):
             enc = self.encoders[enc_idx]
+            z, n_q = self._pad_query(z, plan)
             if plan is not None:
                 z = plan.rows(z)
             nbrs, weights, init = enc.invert_graph(
@@ -355,7 +365,9 @@ class MultimodalUMAP:
                 self.data[enc_idx],
                 self.a,
                 self.b,
+                mesh=self.mesh,
             )
+            weights = self._mask_padded(weights, n_q)
             task, static = query_task(
                 nbrs,
                 weights,
@@ -369,6 +381,7 @@ class MultimodalUMAP:
             tasks.append(task)
             statics.append(static)
             inits.append(init)
+            true_rows.append(n_q)
 
         recons, hist = train_layout(
             inits,
@@ -386,7 +399,7 @@ class MultimodalUMAP:
             chunk_callback=self._verbose_callback("invert", epochs, verbose),
         )
         self.loss_history["invert"] = np.asarray(hist)
-        return recons
+        return [e[:n] for e, n in zip(recons, true_rows)]
 
     @staticmethod
     def _verbose_callback(mode: str, epochs: int, verbose: bool):
@@ -424,6 +437,7 @@ class MultimodalUMAP:
                 "a": self.a,
                 "b": self.b,
                 "spectral_method": self.spectral_method,
+                "knn_engine": self.knn_engine,
                 "sigmas": [e.sigmas for e in self.encoders],
                 "rhos": [e.rhos for e in self.encoders],
                 "data": self.data,
@@ -446,11 +460,13 @@ class MultimodalUMAP:
         model.seed = 0
         model.mesh = None
         model.spectral_method = state.get("spectral_method", "auto")
+        model.knn_engine = state.get("knn_engine")
         model.a = state["a"]
         model.b = state["b"]
         model.encoders = [
             ModalityEncoder(model.k_neighbors, model.out_dim, id=i,
-                            spectral_method=model.spectral_method)
+                            spectral_method=model.spectral_method,
+                            knn_engine=model.knn_engine)
             for i in range(model.num_encoders)
         ]
         for enc, sig, rho in zip(model.encoders, state["sigmas"], state["rhos"]):
@@ -467,6 +483,34 @@ class MultimodalUMAP:
 
     def _plan(self) -> ShardingPlan | None:
         return ShardingPlan(self.mesh) if self.mesh is not None else None
+
+    def _pad_query(self, q: jax.Array, plan: ShardingPlan | None):
+        """Pads query rows to a mesh-size multiple (mesh runs only).
+
+        ``device_put`` with a row sharding needs divisibility; the
+        padded rows are neutralized by :meth:`_mask_padded` and sliced
+        off the results, so arbitrary eval sizes work under any mesh.
+        Returns (padded array, true row count).
+        """
+        if plan is None:
+            return q, q.shape[0]
+        p = int(self.mesh.devices.size)
+        n = q.shape[0]
+        padded = -(-n // p) * p
+        if padded == n:
+            return q, n
+        return jnp.pad(q, ((0, padded - n), (0, 0))), n
+
+    @staticmethod
+    def _mask_padded(weights: jax.Array, n_q: int) -> jax.Array:
+        """Zeroes padded rows' edge weights: their Bernoulli keeps then
+        never fire, so they contribute neither loss terms nor kept-entry
+        counts to the window means (matching the unpadded semantics up
+        to window-count rounding)."""
+        if weights.shape[0] == n_q:
+            return weights
+        rows = jnp.arange(weights.shape[0], dtype=jnp.int32)[:, None]
+        return jnp.where(rows < n_q, weights, 0.0)
 
     def _require_fitted(self) -> None:
         if self.data is None or not self.embeds:

@@ -8,19 +8,42 @@ of query rows against ALL reference columns, followed by one full-width
 ``lax.top_k`` -- no sparse bookkeeping, fixed (Q, k) output shapes, and
 a strict quality upgrade over NN-descent (SURVEY.md §2.10i).
 
-Blocking is over *rows* at the host level: every block reuses one
-compiled kernel (same shapes), and panel memory is bounded at
-``row_block * N`` floats. Full-width top_k on TPU is fast (measured:
-(4096, 31744) panel -> 6 ms); a scan-carried running top-k merge was
-measured 20x slower to compile and no faster to run, so it was
-deliberately rejected.
+Engines (``engine=`` argument, or the ``MMUMAP_KNN_ENGINE`` env var):
+
+* ``bf16`` (TPU default) -- the panel matmul runs single-pass bf16 on
+  the MXU with f32 accumulation (~6x the FLOP rate of f32-highest,
+  which the MXU emulates in multiple bf16 passes), ranking a widened
+  candidate set (>= 2k per row); the candidates are then re-scored
+  EXACTLY in f32 with the direct ``sum((q - r)^2)`` form -- more
+  accurate than the expanded form, which cancels catastrophically for
+  near-duplicates -- and the true top-k selected from them. Distances
+  returned are exact f32; ids are exact whenever every true neighbor
+  ranks inside the candidate set under bf16 scoring (bf16 rounding is
+  ~0.4% relative; verified tie-aware vs a float64 oracle in
+  tests/test_knn.py and tools/run_knn_oracle.py). Runs on the
+  single-dispatch streamed sweep (ops/knn_stream.py) at every size:
+  on the tunneled single-host setup each dispatch costs ~29 ms of RPC
+  latency, so host-side block loops lose to one fused program.
+* ``xla`` (CPU default) -- exact f32 ``precision="highest"`` panels +
+  hierarchical exact selection, row-blocked at the host level (every
+  block reuses one compiled kernel); streams past the ~4 GiB panel
+  threshold.
+* ``pallas`` (TPU only) -- fused Pallas panel/top-k kernel
+  (ops/knn_pallas.py; kept as an explicit option -- measured slower
+  than the streamed bf16 engine at flickr scale because its per-tile
+  min-extraction loop outweighs the fused-panel win).
+* ``approx`` -- ``lax.approx_max_k`` (TPU PartialReduce), recall ~0.99+.
+* ``stream`` -- column-streamed engine (ops/knn_stream.py), explicit.
+
+Selection: ``lax.top_k`` over a full-width panel costs as much as the
+bf16 matmul that produced it (~38 ms vs ~30 ms per 8192 x 31744 block
+on v5e). :func:`hier_topk_smallest` replaces it everywhere with an
+EXACT two-level selection (per-bin minima -> top bins -> members),
+measured ~2.5x faster at equal results.
 
 Distances are Euclidean (not squared), matching the reference's
 ``LA.vector_norm`` convention (impl/model.py:109) which feeds the
-sigma/rho solver. Numerical note: the ``|x|^2+|y|^2-2xy`` form cancels
-catastrophically for (near-)duplicate rows, leaving an O(eps*|x|^2)
-residue instead of exact zero -- selection order is unaffected and the
-downstream sigma/weight guards absorb it (tests/test_duplicates.py).
+sigma/rho solver.
 """
 
 from __future__ import annotations
@@ -32,6 +55,108 @@ import jax
 import jax.numpy as jnp
 
 _INF = jnp.float32(jnp.inf)
+
+
+def resolve_engine(engine: str | None = None) -> str:
+    """Engine resolution: explicit argument > MMUMAP_KNN_ENGINE env var
+    > backend default (bf16 on TPU, xla elsewhere).
+
+    Resolved at the *caller* (encoder / CLI) and threaded into jitted
+    graph builders as a static argument, so an env-var change can never
+    be masked by a stale jit-cache entry.
+    """
+    if engine:
+        return engine
+    env = os.environ.get("MMUMAP_KNN_ENGINE", "")
+    if env:
+        return env
+    return "bf16" if jax.default_backend() == "tpu" else "xla"
+
+
+def _candidate_width(k: int, n_avail: int) -> int:
+    """Candidate-set width for the bf16 engine: >= 2x margin over k,
+    rounded up to a multiple of 8 (top_k-friendly), capped at the
+    available reference count."""
+    cand = max(2 * k, k + 16)
+    cand = ((cand + 7) // 8) * 8
+    return min(cand, n_avail)
+
+
+def hier_topk_smallest(
+    panel: jax.Array,
+    c: int,
+    bin_size: int = 64,
+    bin_margin: int = 8,
+) -> tuple[jax.Array, jax.Array]:
+    """EXACT per-row c smallest panel entries via bin-min pruning.
+
+    ``lax.top_k`` over a (rows, W) panel costs ~38 ms per 8192 x 31744
+    f32 block on v5e -- comparable to the bf16 distance matmul that
+    produced it. This helper reduces the panel to per-bin minima (one
+    cheap VPU pass), keeps the B = c + margin best bins per row, and
+    runs the expensive selection only on their members: measured 15 ms
+    per block, identical results.
+
+    Exactness: at most c-1 entries are strictly smaller than the c-th
+    value d_(c), so at most c-1 bins have min < d_(c) and every bin
+    containing a top-c entry ranks within the top (c-1) + ties bins by
+    min. With B >= c the kept bins therefore contain every entry
+    < d_(c) plus at least enough entries == d_(c): the returned VALUES
+    are always exact, ids exact up to permutations of exact ties (the
+    same guarantee lax.top_k gives). The margin only pads against tie
+    crowding at the boundary.
+
+    Returns (vals ascending, column ids), both (rows, c).
+    """
+    rows, w = panel.shape
+    nb = -(-w // bin_size)
+    if nb < c + bin_margin or w <= 2 * c:
+        # Too few bins to prune anything -- plain top_k is optimal.
+        neg, idx = jax.lax.top_k(-panel, min(c, w))
+        return -neg, idx.astype(jnp.int32)
+    padded = nb * bin_size
+    if padded != w:
+        panel = jnp.pad(panel, ((0, 0), (0, padded - w)),
+                        constant_values=jnp.inf)
+    p3 = panel.reshape(rows, nb, bin_size)
+    mins = p3.min(axis=2)
+    b = min(nb, c + bin_margin)
+    _, bins = jax.lax.top_k(-mins, b)  # (rows, b) best bins by min
+    members = jnp.take_along_axis(p3, bins[:, :, None], axis=1)
+    neg, pos = jax.lax.top_k(-members.reshape(rows, b * bin_size), c)
+    cols = (
+        jnp.take_along_axis(bins, pos // bin_size, axis=1) * bin_size
+        + pos % bin_size
+    )
+    return -neg, cols.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _exact_rescore_sq(
+    q: jax.Array, references: jax.Array, ids: jax.Array, chunk: int
+) -> jax.Array:
+    """Exact f32 squared distances of each query to its candidate rows.
+
+    Direct ``sum((q - r)^2)`` form (no cancellation). The (rows, cand,
+    D) candidate gather is the transient -- scanned in ``chunk``-row
+    slices so peak extra memory is ``chunk * cand * D`` floats.
+    """
+    num_q, cand = ids.shape
+    pad = -(-num_q // chunk) * chunk - num_q
+    if pad:
+        q = jnp.pad(q, ((0, pad), (0, 0)))
+        ids = jnp.pad(ids, ((0, pad), (0, 0)))
+    qs = q.reshape(-1, chunk, q.shape[1])
+    idss = ids.reshape(-1, chunk, cand)
+
+    def chunk_step(_, xs):
+        q_c, id_c = xs
+        rows = references[id_c]  # (chunk, cand, D)
+        diff = q_c[:, None, :] - rows
+        return None, jnp.sum(diff * diff, axis=2)
+
+    _, d2 = jax.lax.scan(chunk_step, None, (qs, idss))
+    return d2.reshape(-1, cand)[:num_q]
 
 
 @functools.partial(
@@ -60,9 +185,9 @@ def _knn_block(
         global_rows = (row_offset + local_rows)[:, None]
         cols = jnp.arange(references.shape[0], dtype=jnp.int32)[None, :]
         panel = jnp.where(cols == global_rows, _INF, panel)
-    neg_d, ids = jax.lax.top_k(-panel, k)
+    d, ids = hier_topk_smallest(panel, k)
     del num_valid_rows  # rows beyond Q are padding; caller slices them off
-    return jnp.sqrt(jnp.maximum(-neg_d, 0.0)), ids.astype(jnp.int32)
+    return jnp.sqrt(jnp.maximum(d, 0.0)), ids
 
 
 @functools.partial(
@@ -108,14 +233,9 @@ def knn(
     exclude_self: bool = False,
     row_block: int = 8192,
     precision: str = "highest",
+    engine: str | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact kNN of ``queries`` against ``references``.
-
-    Engine selection via ``MMUMAP_KNN_ENGINE``:
-      * unset/"xla" (default) -- exact: blocked panels + full-width top_k;
-      * "pallas" (TPU only) -- exact: fused Pallas panel/top-k kernel
-        (ops/knn_pallas.py; measured ~15% faster on v5e at flickr scale);
-      * "approx" -- lax.approx_max_k (TPU PartialReduce), recall ~0.99+.
 
     Args:
         queries: (Q, D) float array.
@@ -127,32 +247,44 @@ def knn(
         row_block: query rows per panel; bounds peak memory at
             ``row_block * N`` floats while every block reuses one
             compiled kernel.
-        precision: matmul precision; "highest" keeps f32 accuracy so
-            neighbor selection matches a direct computation.
+        precision: matmul precision for the "xla" engine.
+        engine: see module docstring; None resolves via
+            :func:`resolve_engine`.
 
     Returns:
         (dists, ids): (Q, k) Euclidean distances (ascending per row) and
         (Q, k) int32 reference indices.
     """
-    engine = os.environ.get("MMUMAP_KNN_ENGINE", "xla")
+    engine = resolve_engine(engine)
     if engine == "pallas" and jax.default_backend() == "tpu":
         from .knn_pallas import knn_pallas
 
         return knn_pallas(queries, references, k, exclude_self=exclude_self)
 
-    # Column-streamed engine: explicit opt-in, or automatic once a
-    # single row_block x N panel would exceed ~4 GiB (beyond-flickr
-    # scale, where full-width panels stop fitting HBM; see
-    # ops/knn_stream.py / SURVEY.md §5.7).
+    # The bf16 engine and the column-streamed engine share one body:
+    # knn_streamed runs the whole row/column block sweep as ONE
+    # dispatch (nested lax.scans) -- on the tunneled single-host setup
+    # each dispatch costs ~29 ms of RPC latency, so a host-side block
+    # loop would spend more time on round-trips than on math. The
+    # streamed sweep degrades gracefully to a single panel at small
+    # sizes. engine="xla" keeps flat per-block dispatches below the
+    # ~4 GiB panel threshold (its panels are f32-highest either way)
+    # and streams above it.
     panel_bytes = 4 * row_block * references.shape[0]
-    if engine == "stream" or (
+    if engine in ("bf16", "stream") or (
         engine == "xla" and panel_bytes > 4 * 1024**3
     ):
         from .knn_stream import knn_streamed
 
+        # engine="stream" keeps bf16 ranking on TPU (f32 elsewhere);
+        # MMUMAP_STREAM_F32=1 forces f32-highest panels for isolation.
+        bf16 = engine == "bf16" or (
+            jax.default_backend() == "tpu"
+            and os.environ.get("MMUMAP_STREAM_F32", "") != "1"
+        )
         return knn_streamed(
             queries, references, k, exclude_self=exclude_self,
-            row_block=row_block,
+            row_block=row_block, bf16=bf16,
         )
 
     if engine == "approx":

@@ -19,7 +19,11 @@ analogue:
   (Round 1 measured a scan-carried merge "20x slower to compile at no
   runtime win" -- that held at 31k where 4 full-width panels saturate
   the device; past the 4 GiB panel threshold the dispatch count grows
-  as (N/row_block)*(N/col_block) and the trade inverts.)
+  as (N/row_block)*(N/col_block) and the trade inverts. Small-N cold
+  runs pay the scan's compile cost once per (shape, k); the persistent
+  on-disk compile cache -- utils/cache.py, enabled by every entry
+  point -- amortizes it across processes, which is why no host-loop
+  small-N special case is kept.)
 
 * :func:`knn_ring` -- multi-chip: queries AND references both row-shard
   across the mesh (no replicated table). Each device computes its query
@@ -29,6 +33,17 @@ analogue:
   ``mesh_size`` steps every query row has seen every reference row;
   results come back row-sharded. Peak per-device memory is
   ``(Q/P) * (N/P)`` panel + one (N/P, D) shard in flight.
+
+Both engines support the bf16-panel + exact-f32-rescore design of
+ops/knn.py: panels *rank* a widened candidate set at single-pass MXU
+speed; candidates are re-scored exactly (direct ``sum((q-r)^2)`` form)
+before the final top-k, so returned distances are always exact f32.
+The streamed sweep carries the widened candidate set across column
+blocks and re-scores once at the end; the ring re-scores per step
+against the resident shard (a local gather -- the table is never
+replicated). Per-panel selection rides the exact hierarchical
+bin-min pruning of ops/knn.py:hier_topk_smallest (measured ~2.5x the
+speed of full-width ``lax.top_k`` at identical results).
 
 No counterpart exists in the reference (single device, NN-descent,
 SURVEY.md §2.9); cited design: SURVEY.md §5.7, §2.9 "all-gather (ICI)
@@ -43,18 +58,33 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .knn import _candidate_width, _exact_rescore_sq, hier_topk_smallest
+
 _INF = jnp.float32(jnp.inf)
 
 
-def _panel_sq(q_blk: jax.Array, r_blk: jax.Array) -> jax.Array:
-    """Squared-distance panel on the MXU (|q|^2 + |r|^2 - 2 q r^T)."""
+def _panel_sq(
+    q_blk: jax.Array, r_blk: jax.Array, bf16: bool = False
+) -> jax.Array:
+    """Squared-distance panel on the MXU (|q|^2 + |r|^2 - 2 q r^T).
+
+    With ``bf16`` the matmul runs single-pass bf16 (f32 accumulation):
+    ~6x the f32-highest FLOP rate, values good only for *ranking*.
+    """
     q_sq = jnp.sum(q_blk * q_blk, axis=1, keepdims=True)
     r_sq = jnp.sum(r_blk * r_blk, axis=1)
-    panel = q_sq + r_sq[None, :] - 2.0 * jnp.dot(
-        q_blk, r_blk.T,
-        preferred_element_type=jnp.float32,
-        precision="highest",
-    )
+    if bf16:
+        cross = jnp.dot(
+            q_blk.astype(jnp.bfloat16), r_blk.astype(jnp.bfloat16).T,
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        cross = jnp.dot(
+            q_blk, r_blk.T,
+            preferred_element_type=jnp.float32,
+            precision="highest",
+        )
+    panel = q_sq + r_sq[None, :] - 2.0 * cross
     return jnp.maximum(panel, 0.0)
 
 
@@ -82,26 +112,28 @@ def _panel_merge(
     best_i: jax.Array,
     k: int,
     exclude_self: bool,
+    bf16: bool,
 ) -> tuple[jax.Array, jax.Array]:
     """One (row_block, col_block) panel merged into the running k-best.
 
     ``best_d`` carries SQUARED distances during streaming (sqrt once at
-    the end). Padded columns (global id >= num_valid_cols) are masked.
+    the end; bf16-approximate values when ``bf16`` -- re-scored by the
+    caller). Padded columns (global id >= num_valid_cols) are masked.
     """
-    panel = _panel_sq(q_blk, r_blk)
+    panel = _panel_sq(q_blk, r_blk, bf16=bf16)
     cols = col_offset + jnp.arange(r_blk.shape[0], dtype=jnp.int32)
     panel = jnp.where(cols[None, :] >= num_valid_cols, _INF, panel)
     if exclude_self:
         rows = row_offset + jnp.arange(q_blk.shape[0], dtype=jnp.int32)
         panel = jnp.where(cols[None, :] == rows[:, None], _INF, panel)
     c = min(k, r_blk.shape[0])
-    neg_d, ids = jax.lax.top_k(-panel, c)
-    return _merge_topk(best_d, best_i, -neg_d, cols[ids], k)
+    d, ids = hier_topk_smallest(panel, c)
+    return _merge_topk(best_d, best_i, d, cols[ids], k)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "exclude_self", "row_block", "col_block"),
+    static_argnames=("k", "exclude_self", "row_block", "col_block", "bf16"),
 )
 def _stream_all(
     q: jax.Array,
@@ -111,12 +143,15 @@ def _stream_all(
     exclude_self: bool,
     row_block: int,
     col_block: int,
+    bf16: bool,
 ) -> tuple[jax.Array, jax.Array]:
     """The full block sweep as nested ``lax.scan``s -- ONE dispatch.
 
     ``q``/``r`` must already be padded to block multiples; reshaping to
     (blocks, block, D) is layout-free, so the scans stream slices of
-    the original tables without copies.
+    the original tables without copies. ``k`` here is the carried
+    selection width (the caller widens it to the candidate width in
+    bf16 mode).
     """
     n_rb = q.shape[0] // row_block
     n_cb = r.shape[0] // col_block
@@ -132,7 +167,7 @@ def _stream_all(
             r_blk, col_off = cx
             return _panel_merge(
                 q_blk, r_blk, row_off, col_off, num_valid_cols,
-                carry[0], carry[1], k, exclude_self,
+                carry[0], carry[1], k, exclude_self, bf16,
             ), None
 
         init = (
@@ -148,6 +183,74 @@ def _stream_all(
     return d.reshape(-1, k), i.reshape(-1, k)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "exclude_self", "chunk")
+)
+def _rescore_topk(
+    q: jax.Array,
+    r: jax.Array,
+    cand_i: jax.Array,
+    num_valid_cols: jax.Array,
+    k: int,
+    exclude_self: bool,
+    chunk: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact f32 re-score of streamed candidates + final top-k."""
+    safe_ids = jnp.clip(cand_i, 0, r.shape[0] - 1)
+    d2 = _exact_rescore_sq(q, r, safe_ids, chunk)
+    invalid = (cand_i < 0) | (cand_i >= num_valid_cols)
+    if exclude_self:
+        rows = jnp.arange(q.shape[0], dtype=jnp.int32)[:, None]
+        invalid = invalid | (cand_i == rows)
+    d2 = jnp.where(invalid, _INF, d2)
+    neg_d, sel = jax.lax.top_k(-d2, k)
+    ids = jnp.take_along_axis(cand_i, sel, axis=1)
+    return jnp.sqrt(jnp.maximum(-neg_d, 0.0)), ids
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "exclude_self", "row_block", "col_block", "bf16"),
+)
+def _streamed_fused(
+    q: jax.Array,
+    r: jax.Array,
+    k: int,
+    exclude_self: bool,
+    row_block: int,
+    col_block: int,
+    bf16: bool,
+) -> tuple[jax.Array, jax.Array]:
+    """Pad + sweep + (rescore) + slice as ONE program: on the tunneled
+    single-host setup every separate dispatch costs ~29 ms of RPC/sync
+    latency -- at flickr scale that is comparable to the whole device
+    work, so the entire engine compiles to a single executable."""
+    num_q, num_r = q.shape[0], r.shape[0]
+    n_rb = -(-num_q // row_block)
+    n_cb = -(-num_r // col_block)
+    q_pad = q
+    if n_rb * row_block != num_q:
+        q_pad = jnp.pad(q, ((0, n_rb * row_block - num_q), (0, 0)))
+    r_pad = r
+    if n_cb * col_block != num_r:
+        r_pad = jnp.pad(r, ((0, n_cb * col_block - num_r), (0, 0)))
+
+    sel_width = (
+        _candidate_width(k, num_r - (1 if exclude_self else 0))
+        if bf16 else k
+    )
+    best_d, best_i = _stream_all(
+        q_pad, r_pad, jnp.int32(num_r), sel_width, exclude_self,
+        row_block, col_block, bf16,
+    )
+    if bf16:
+        return _rescore_topk(
+            q, r_pad, best_i[:num_q], jnp.int32(num_r), k, exclude_self,
+            chunk=512,
+        )
+    return jnp.sqrt(best_d[:num_q]), best_i[:num_q]
+
+
 def knn_streamed(
     queries: jax.Array,
     references: jax.Array,
@@ -156,31 +259,25 @@ def knn_streamed(
     exclude_self: bool = False,
     row_block: int = 8192,
     col_block: int = 32768,
+    bf16: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact kNN with both axes blocked; memory independent of N.
 
     Same contract as :func:`..knn.knn`: returns (Q, k) ascending
-    Euclidean distances and int32 reference ids.
+    Euclidean distances and int32 reference ids. With ``bf16`` the
+    sweep ranks a widened candidate set at bf16 speed and re-scores it
+    exactly at the end (see module docstring). The whole engine is one
+    dispatch (:func:`_streamed_fused`).
     """
     q = jnp.asarray(queries, dtype=jnp.float32)
     r = jnp.asarray(references, dtype=jnp.float32)
     num_q, num_r = q.shape[0], r.shape[0]
     if k > num_r - (1 if exclude_self else 0):
         raise ValueError(f"k={k} exceeds available references ({num_r})")
-
-    row_block = min(row_block, num_q)
-    col_block = min(col_block, num_r)
-    n_rb = -(-num_q // row_block)
-    n_cb = -(-num_r // col_block)
-    if n_rb * row_block != num_q:
-        q = jnp.pad(q, ((0, n_rb * row_block - num_q), (0, 0)))
-    if n_cb * col_block != num_r:
-        r = jnp.pad(r, ((0, n_cb * col_block - num_r), (0, 0)))
-
-    best_d, best_i = _stream_all(
-        q, r, jnp.int32(num_r), k, exclude_self, row_block, col_block
+    return _streamed_fused(
+        q, r, k, exclude_self,
+        min(row_block, num_q), min(col_block, num_r), bf16,
     )
-    return jnp.sqrt(best_d[:num_q]), best_i[:num_q]
 
 
 def knn_ring(
@@ -191,21 +288,38 @@ def knn_ring(
     *,
     exclude_self: bool = False,
     axis: str | None = None,
+    bf16: bool | None = None,
+    num_valid_rows: int | None = None,
+    num_valid_cols: int | None = None,
+    rescore_chunk: int = 512,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact kNN with the reference table ring-sharded over the mesh.
 
     Queries and references must both have row counts divisible by the
-    mesh size (pad at the caller). Results return row-sharded over the
+    mesh size (use :func:`pad_rows_to_multiple` at the caller and pass
+    the true counts via ``num_valid_rows``/``num_valid_cols`` -- padded
+    columns are masked out of every panel; padded query rows return
+    garbage the caller slices off). Results return row-sharded over the
     same axis. ``exclude_self`` requires queries and references to be
     the same table (fit mode).
+
+    ``bf16`` (default: on when the backend is TPU) ranks each resident
+    shard's panel in bf16, then re-scores the shard-local candidates
+    exactly with a chunked local gather before merging -- the full
+    reference table is never replicated and returned distances are
+    exact f32.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..parallel.mesh import DATA_AXIS
 
     axis = axis or DATA_AXIS
+    if bf16 is None:
+        bf16 = jax.default_backend() == "tpu"
     p = int(mesh.shape[axis])
     num_q, num_r = queries.shape[0], references.shape[0]
+    n_valid_q = num_q if num_valid_rows is None else int(num_valid_rows)
+    n_valid_r = num_r if num_valid_cols is None else int(num_valid_cols)
     if num_q % p or num_r % p:
         raise ValueError(
             f"knn_ring needs row counts divisible by mesh size {p}; "
@@ -213,14 +327,21 @@ def knn_ring(
         )
     if exclude_self and num_q != num_r:
         raise ValueError("exclude_self requires queries == references")
-    if k > num_r - (1 if exclude_self else 0):
-        raise ValueError(f"k={k} exceeds available references ({num_r})")
+    if k > n_valid_r - (1 if exclude_self else 0):
+        raise ValueError(f"k={k} exceeds available references ({n_valid_r})")
 
     q_rows, r_rows = num_q // p, num_r // p
     perm = [(j, (j + 1) % p) for j in range(p)]
+    sel_width = (
+        min(_candidate_width(k, n_valid_r - (1 if exclude_self else 0)),
+            r_rows)
+        if bf16 else min(k, r_rows)
+    )
+    chunk = min(rescore_chunk, q_rows)
 
     def body(q_shard, r_shard):
         me = jax.lax.axis_index(axis)
+        rows = me * q_rows + jnp.arange(q_rows, dtype=jnp.int32)
         best_d = jnp.full((q_rows, k), _INF)
         best_i = jnp.full((q_rows, k), -1, dtype=jnp.int32)
         cur = r_shard
@@ -228,29 +349,33 @@ def knn_ring(
             # After `step` rotations, this device holds the shard that
             # started at (me - step) mod p.
             col_offset = ((me - step) % p) * r_rows
-            panel = _panel_sq(q_shard, cur)
+            panel = _panel_sq(q_shard, cur, bf16=bf16)
             cols = col_offset + jnp.arange(r_rows, dtype=jnp.int32)
+            invalid_col = cols[None, :] >= n_valid_r
             if exclude_self:
-                rows = me * q_rows + jnp.arange(q_rows, dtype=jnp.int32)
-                panel = jnp.where(
-                    cols[None, :] == rows[:, None], _INF, panel
-                )
-            c = min(k, r_rows)
-            neg_d, ids = jax.lax.top_k(-panel, c)
-            best_d, best_i = _merge_topk(
-                best_d, best_i, -neg_d, cols[ids], k
-            )
+                invalid_col = invalid_col | (cols[None, :] == rows[:, None])
+            panel = jnp.where(invalid_col, _INF, panel)
+            d_sel, local_ids = hier_topk_smallest(panel, sel_width)
+            if bf16:
+                # Exact re-score against the RESIDENT shard: a local
+                # gather, chunked to bound the (chunk, c, D) transient.
+                d2 = _exact_rescore_sq(q_shard, cur, local_ids, chunk)
+                gids = cols[local_ids]
+                invalid = gids >= n_valid_r
+                if exclude_self:
+                    invalid = invalid | (gids == rows[:, None])
+                d2 = jnp.where(invalid, _INF, d2)
+            else:
+                d2 = d_sel
+                gids = cols[local_ids]
+            best_d, best_i = _merge_topk(best_d, best_i, d2, gids, k)
             if step < p - 1:
                 cur = jax.lax.ppermute(cur, axis, perm)
-        return jnp.sqrt(best_d), best_i
+        return jnp.sqrt(jnp.maximum(best_d, 0.0)), best_i
 
     shard = NamedSharding(mesh, P(axis, None))
-    q = jax.device_put(
-        jnp.asarray(queries, dtype=jnp.float32), shard
-    )
-    r = jax.device_put(
-        jnp.asarray(references, dtype=jnp.float32), shard
-    )
+    q = jax.device_put(jnp.asarray(queries, dtype=jnp.float32), shard)
+    r = jax.device_put(jnp.asarray(references, dtype=jnp.float32), shard)
     fn = jax.jit(
         jax.shard_map(
             body, mesh=mesh,
@@ -258,6 +383,7 @@ def knn_ring(
             out_specs=(P(axis, None), P(axis, None)),
         )
     )
+    del n_valid_q  # padded query rows: garbage out, caller slices
     return fn(q, r)
 
 

@@ -40,8 +40,16 @@ class ShardingPlan:
     mesh: Mesh
 
     def rows(self, x: jax.Array) -> jax.Array:
-        """Shards the leading axis across the mesh (pads implicitly via
-        GSPMD when the axis is not divisible)."""
+        """Shards the leading axis across the mesh.
+
+        ``device_put`` requires the sharded axis to be divisible by the
+        mesh size; non-divisible tables fall back to replication (the
+        query paths pad to a multiple before sharding -- see
+        MultimodalUMAP.transform -- so this fallback only triggers for
+        odd-sized FIT tables, where padding would corrupt the
+        self-graph)."""
+        if x.shape[0] % self.mesh.devices.size:
+            return self.replicated(x)
         spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
         return jax.device_put(x, NamedSharding(self.mesh, spec))
 

@@ -42,6 +42,7 @@ def save_state(path: str, state: dict, compress: bool = False) -> None:
         "a": float(state["a"]),
         "b": float(state["b"]),
         "spectral_method": str(state.get("spectral_method", "auto")),
+        "knn_engine": str(state.get("knn_engine") or ""),
         "graph_shapes": [
             [g.num_rows, g.num_cols] for g in state["graphs"]
         ],
@@ -80,8 +81,9 @@ def load_state(path: str) -> dict:
             "num_encoders": n,
             "a": meta["a"],
             "b": meta["b"],
-            # Absent in schema-1 archives written before the knob.
+            # Absent in schema-1 archives written before the knobs.
             "spectral_method": meta.get("spectral_method", "auto"),
+            "knn_engine": meta.get("knn_engine", "") or None,
             "sigmas": [],
             "rhos": [],
             "data": [],

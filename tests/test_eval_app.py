@@ -10,7 +10,7 @@ from multimodal_umap_tpu.app import crossmodal_recon
 from multimodal_umap_tpu.data import clustered_modalities
 from multimodal_umap_tpu.data.flickr30k import load_data
 from multimodal_umap_tpu.eval import knn_test, similarity_test
-from multimodal_umap_tpu.eval.validation import _bidirectional_recall
+from multimodal_umap_tpu.eval.validation import bidirectional_recall
 from multimodal_umap_tpu.models.mixture import MultimodalUMAP
 
 
@@ -34,9 +34,9 @@ def fitted_model(cfg):
 def test_bidirectional_recall_oracle():
     """Perfectly aligned embeddings give recall 1.0; disjoint ones ~0."""
     e = np.random.default_rng(0).normal(size=(50, 4)).astype(np.float32)
-    assert float(_bidirectional_recall(e, e, 1)) == 1.0
+    assert float(bidirectional_recall(e, e, 1)) == 1.0
     far = e + 1000.0 * np.sign(e)
-    assert float(_bidirectional_recall(e, far, 1)) < 0.5
+    assert float(bidirectional_recall(e, far, 1)) < 0.5
 
 
 def test_similarity_and_knn_tests(fitted_model, cfg):

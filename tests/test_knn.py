@@ -76,3 +76,50 @@ def test_knn_approx_engine_row_blocked(rng, monkeypatch):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(i_blk), np.asarray(i_one))
     assert np.all(np.asarray(i_blk) != np.arange(260)[:, None])
+
+
+def test_knn_bf16_engine_exact_ids_and_dists(rng):
+    """bf16 panel + exact f32 re-score vs a float64 oracle: recall 1.0
+    and ~1e-6 distance error, INCLUDING a near-duplicate cluster where
+    the expanded-form f32-highest engine itself loses ~1% recall to
+    cancellation (measured 0.987 / 5.5e-4 error on this fixture). The
+    direct-form re-score makes the fast engine the more accurate one
+    (VERDICT r2 next-step 2)."""
+    x = rng.normal(size=(500, 24)).astype(np.float32)
+    x[100:120] = x[99] + 1e-3 * rng.normal(size=(20, 24)).astype(np.float32)
+    d64 = np.linalg.norm(
+        x[:, None, :].astype(np.float64) - x[None, :, :].astype(np.float64),
+        axis=2,
+    )
+    np.fill_diagonal(d64, np.inf)
+    oid = np.argsort(d64, axis=1, kind="stable")[:, :10]
+    od = np.take_along_axis(d64, oid, axis=1)
+    d_b, i_b = knn(jnp.asarray(x), jnp.asarray(x), 10, exclude_self=True,
+                   engine="bf16")
+    recall = np.mean(np.sort(np.asarray(i_b), 1) == np.sort(oid, 1))
+    assert recall == 1.0, recall
+    np.testing.assert_allclose(np.asarray(d_b), od, rtol=1e-4, atol=1e-5)
+    assert np.all(np.asarray(i_b) != np.arange(500)[:, None])
+
+
+def test_knn_bf16_query_mode_row_blocked(rng):
+    x = rng.normal(size=(300, 17)).astype(np.float32)
+    q = rng.normal(size=(70, 17)).astype(np.float32)
+    d_e, i_e = knn(jnp.asarray(q), jnp.asarray(x), 6, engine="xla")
+    d_b, i_b = knn(jnp.asarray(q), jnp.asarray(x), 6, engine="bf16",
+                   row_block=32)
+    np.testing.assert_array_equal(np.sort(np.asarray(i_b), 1),
+                                  np.sort(np.asarray(i_e), 1))
+    np.testing.assert_allclose(np.asarray(d_b), np.asarray(d_e),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_knn_engine_env_var(rng, monkeypatch):
+    """MMUMAP_KNN_ENGINE resolves when no explicit engine is given."""
+    from multimodal_umap_tpu.ops.knn import resolve_engine
+
+    monkeypatch.setenv("MMUMAP_KNN_ENGINE", "bf16")
+    assert resolve_engine() == "bf16"
+    assert resolve_engine("xla") == "xla"  # explicit wins
+    monkeypatch.delenv("MMUMAP_KNN_ENGINE")
+    assert resolve_engine() in ("xla", "bf16")

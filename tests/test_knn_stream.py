@@ -86,3 +86,48 @@ def test_pad_rows_to_multiple(rng):
     assert padded.shape == (104, 4) and n == 100
     same, n2 = pad_rows_to_multiple(x[:96], 8)
     assert same.shape == (96, 4) and n2 == 96
+
+
+def test_streamed_bf16_matches_exact(rng):
+    """bf16 sweep carries a widened candidate set and re-scores exactly
+    at the end: ids and distances match the f32 engine."""
+    x = jnp.asarray(rng.normal(size=(263, 12)).astype(np.float32))
+    d0, i0 = knn(x, x, 7, exclude_self=True)
+    d1, i1 = knn_streamed(x, x, 7, exclude_self=True,
+                          row_block=64, col_block=48, bf16=True)
+    np.testing.assert_array_equal(np.sort(np.asarray(i0), 1),
+                                  np.sort(np.asarray(i1), 1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_ring_bf16_matches_exact(rng):
+    """Ring with bf16 panels + per-step local re-score: exact results,
+    no replicated table (VERDICT r2 next-steps 1+2)."""
+    mesh = create_mesh()
+    x = jnp.asarray(rng.normal(size=(256, 16)).astype(np.float32))
+    d0, i0 = knn(x, x, 9, exclude_self=True)
+    d1, i1 = knn_ring(x, x, 9, mesh, exclude_self=True, bf16=True)
+    assert not d1.sharding.is_fully_replicated
+    np.testing.assert_array_equal(np.sort(np.asarray(i0), 1),
+                                  np.sort(np.asarray(i1), 1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_ring_padded_references_masked(rng):
+    """Padded reference rows (num_valid_cols) never appear as
+    neighbors; padded query rows are sliced off by the caller."""
+    mesh = create_mesh()
+    r_np = rng.normal(size=(100, 6)).astype(np.float32)
+    q_np = rng.normal(size=(37, 6)).astype(np.float32)
+    r_pad, n_r = pad_rows_to_multiple(r_np, 8)
+    q_pad, n_q = pad_rows_to_multiple(q_np, 8)
+    d1, i1 = knn_ring(q_pad, r_pad, 5, mesh, num_valid_cols=n_r,
+                      bf16=True)
+    d0, i0 = knn(jnp.asarray(q_np), jnp.asarray(r_np), 5)
+    assert np.all(np.asarray(i1[:n_q]) < n_r)
+    np.testing.assert_array_equal(np.sort(np.asarray(i1[:n_q]), 1),
+                                  np.sort(np.asarray(i0), 1))
+    np.testing.assert_allclose(np.asarray(d1[:n_q]), np.asarray(d0),
+                               rtol=1e-4, atol=1e-5)

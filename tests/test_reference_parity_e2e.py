@@ -11,7 +11,9 @@ golden configurations guard against band-fitting to one dataset.
 Bands (tightened per VERDICT round 1 task 4): cosine >= ref - 0.03,
 knn5 >= 0.9x ref, recon MSE <= 1.1x ref, trustworthiness >= ref - 0.02
 per modality -- exact kNN should match or beat the reference's
-randomized NN-descent graphs."""
+randomized NN-descent graphs. The knn5 gate averages over a few model
+seeds (see _KNN5_SEEDS) because at these test sizes a single draw's
+counting noise is comparable to the band width."""
 
 import glob
 import json
@@ -28,6 +30,27 @@ GOLDEN_FILES = sorted(glob.glob(
 ))
 
 
+def _knn5(e0: np.ndarray, e1: np.ndarray) -> float:
+    n_test = e0.shape[0]
+    d = np.linalg.norm(e0[:, None] - e1[None, :], axis=2)
+    fwd = np.argsort(d, axis=1)[:, :5]
+    bwd = np.argsort(d.T, axis=1)[:, :5]
+    ids = np.arange(n_test)[:, None]
+    return float(
+        (np.any(fwd == ids, 1).mean() + np.any(bwd == ids, 1).mean()) / 2
+    )
+
+
+# Model seeds the knn5 gate averages over. At n_test <= 72 the
+# retrieval metric's counting noise alone is ~4pp (sigma of a mean of
+# ~144 Bernoulli outcomes), so a single fit/transform draw sits within
+# noise of the 0.9x band edge and ANY legitimate PRNG-stream change
+# (e.g. the round-2 advisor's distinct-negative-offsets fix) re-rolls
+# it. The mean over a few model seeds gates the ESTIMATOR, not one
+# draw; cosine/recon/trust are stable at seed 0 and stay single-run.
+_KNN5_SEEDS = (0, 1, 2)
+
+
 def _run_pipeline(golden):
     cfg = golden["config"]
     data = clustered_modalities(
@@ -38,25 +61,25 @@ def _run_pipeline(golden):
     train = [data["texts"][:n_tr], data["images"][:n_tr]]
     test = [data["texts"][n_tr:], data["images"][n_tr:]]
 
-    model = MultimodalUMAP(cfg["k"], cfg["out_dim"], 0.1, num_encoders=2)
-    model.fit(train, epochs=cfg["epochs"], num_rep=4, lr=0.05, alpha=1.0,
+    knn5_vals = []
+    model = None
+    for seed in _KNN5_SEEDS:
+        m = MultimodalUMAP(cfg["k"], cfg["out_dim"], 0.1, num_encoders=2,
+                           seed=seed)
+        m.fit(train, epochs=cfg["epochs"], num_rep=4, lr=0.05, alpha=1.0,
               batch_size=64)
-
-    embeds = model.transform(test, epochs=cfg["test_epochs"],
+        embeds = m.transform(test, epochs=cfg["test_epochs"],
                              data_indices=[0, 1], num_rep=4, lr=0.05,
                              batch_size=64)
-    e0 = np.asarray(embeds[0])
-    e1 = np.asarray(embeds[1])
+        knn5_vals.append(_knn5(np.asarray(embeds[0]), np.asarray(embeds[1])))
+        if seed == 0:
+            model = m
+            e0, e1 = np.asarray(embeds[0]), np.asarray(embeds[1])
+    knn5 = float(np.mean(knn5_vals))
+
     e0n = e0 / np.maximum(np.linalg.norm(e0, axis=1, keepdims=True), 1e-12)
     e1n = e1 / np.maximum(np.linalg.norm(e1, axis=1, keepdims=True), 1e-12)
     cosine = float((e0n * e1n).sum(1).mean())
-
-    n_test = cfg["n_test"]
-    d = np.linalg.norm(e0[:, None] - e1[None, :], axis=2)
-    fwd = np.argsort(d, axis=1)[:, :5]
-    bwd = np.argsort(d.T, axis=1)[:, :5]
-    ids = np.arange(n_test)[:, None]
-    knn5 = (np.any(fwd == ids, 1).mean() + np.any(bwd == ids, 1).mean()) / 2
 
     z = model.transform([test[0]], epochs=cfg["test_epochs"],
                         data_indices=[0], num_rep=4, lr=0.05,
@@ -75,7 +98,7 @@ def _run_pipeline(golden):
                               np.asarray(model.embeds[i]), k=10))
         for i in range(2)
     ]
-    return {"cosine": cosine, "knn5": float(knn5), "recon_mse": mse,
+    return {"cosine": cosine, "knn5": knn5, "recon_mse": mse,
             "trustworthiness": trust}
 
 

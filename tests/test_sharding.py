@@ -185,3 +185,82 @@ def test_resume_with_mesh_keeps_row_sharding(blobs, tmp_path):
         np.asarray(resumed.embeds[0]), np.asarray(full.embeds[0]),
         rtol=2e-4, atol=2e-5,
     )
+
+
+def test_mesh_fit_graph_rides_ring_and_matches_single_device(rng):
+    """VERDICT r2 next-step 1 gate: under a mesh, fit_graph routes kNN
+    through the ppermute ring (no replicated feature table) and yields
+    the same graph as the single-device engine at N >= 1k."""
+    from multimodal_umap_tpu.models.encoder import ModalityEncoder, _ring_ok
+
+    n = 1024
+    x = rng.normal(size=(n, 24)).astype(np.float32)
+    x = jnp.asarray(x)
+
+    enc_single = ModalityEncoder(10, 4)
+    g0, dense0, _ = enc_single.fit_graph(x)
+
+    mesh = create_mesh()
+    assert _ring_ok(mesh, n)
+    enc_mesh = ModalityEncoder(10, 4)
+    g1, dense1, _ = enc_mesh.fit_graph(x, mesh=mesh)
+
+    np.testing.assert_array_equal(np.asarray(dense0.nbrs),
+                                  np.asarray(dense1.nbrs))
+    np.testing.assert_allclose(np.asarray(dense0.weights),
+                               np.asarray(dense1.weights),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(enc_single.sigmas),
+                               np.asarray(enc_mesh.sigmas),
+                               rtol=1e-4, atol=1e-5)
+    # Graph arrays stay row-sharded over the mesh.
+    assert not dense1.nbrs.sharding.is_fully_replicated
+
+
+def test_mesh_transform_invert_with_indivisible_queries(blobs):
+    """Query counts that do not divide the mesh size are padded, the
+    padded rows' weights zeroed, and results sliced back -- arbitrary
+    eval sizes work under any mesh (regression: device_put used to
+    reject Q=20 on an 8-mesh, crashing the CLI's default-mesh eval)."""
+    x0, x1, _ = blobs
+    mesh = create_mesh()
+    model = MultimodalUMAP(8, 4, 0.1, num_encoders=2, mesh=mesh)
+    model.fit([x0[:160], x1[:160]], epochs=40, num_rep=4, lr=0.05,
+              alpha=0.5, batch_size=64)
+
+    q = x0[160:180]  # 20 rows: not divisible by 8
+    emb = model.transform([q], epochs=20, data_indices=[0], num_rep=4,
+                          lr=0.05, batch_size=64)
+    assert emb[0].shape == (20, 4)
+    assert np.all(np.isfinite(np.asarray(emb[0])))
+
+    rec = model.inverse_transform([emb[0]], epochs=20, data_indices=[1],
+                                  num_rep=4, lr=0.05, batch_size=64)
+    assert rec[0].shape == (20, x1.shape[1])
+    assert np.all(np.isfinite(np.asarray(rec[0])))
+
+    # The (deterministic) query graph must match the single-device one.
+    from multimodal_umap_tpu.models.encoder import ModalityEncoder
+
+    enc_s = ModalityEncoder(8, 4)
+    nbrs_s, w_s, _ = enc_s.transform_graph(
+        jnp.asarray(q), jnp.asarray(x0[:160]), model.embeds[0]
+    )
+    q_pad, n_q = model._pad_query(jnp.asarray(q), model._plan())
+    nbrs_m, w_m, _ = model.encoders[0].transform_graph(
+        model._plan().rows(q_pad), jnp.asarray(x0[:160]),
+        model.embeds[0], mesh=mesh,
+    )
+    np.testing.assert_array_equal(np.asarray(nbrs_m)[:n_q],
+                                  np.asarray(nbrs_s))
+    np.testing.assert_allclose(np.asarray(w_m)[:n_q], np.asarray(w_s),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_ring_ok_guardrails():
+    from multimodal_umap_tpu.models.encoder import _ring_ok
+
+    mesh = create_mesh()
+    assert _ring_ok(mesh, 64)
+    assert not _ring_ok(mesh, 63)   # indivisible -> replicated fallback
+    assert not _ring_ok(None, 64)   # no mesh

@@ -56,3 +56,19 @@ def test_k_bounds():
     x = np.zeros((20, 3), np.float32)
     with pytest.raises(ValueError):
         trustworthiness(x, x, k=10)
+
+
+def test_sampled_estimator_matches_exact(rng):
+    from multimodal_umap_tpu.eval.trustworthiness import (
+        trustworthiness_sampled,
+    )
+
+    x = rng.normal(size=(120, 8)).astype(np.float32)
+    emb = rng.normal(size=(120, 2)).astype(np.float32)
+    exact = trustworthiness(x, emb, k=6)
+    # Full-row "sample" reproduces the exact score bit-for-bit via the
+    # fallback; a genuine subsample lands within its sampling noise.
+    assert trustworthiness_sampled(x, emb, k=6, sample_rows=200) == \
+        pytest.approx(exact, abs=1e-6)
+    est = trustworthiness_sampled(x, emb, k=6, sample_rows=64, seed=1)
+    assert est == pytest.approx(exact, abs=0.05)
