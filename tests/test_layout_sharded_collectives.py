@@ -1,0 +1,133 @@
+"""Communication-volume regression gate on the shard_map layout epoch.
+
+VERDICT r2 next-step 3: multi-chip performance is unmeasurable on a
+single-chip tunnel, but communication volume is not -- lower the
+production mesh engine (models/layout_sharded.py) over the 8-device
+virtual CPU mesh and account its compiled-HLO collectives. The GSPMD
+formulation of the same semantics measured ~22x the (N, D) embedding
+table per device per epoch; the shard_map engine must stay at the
+textbook minimum: ONE table all-gather forward + ONE reduce-scatter
+backward per modality, plus O(N) bookkeeping.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from multimodal_umap_tpu.models.layout import fit_task, query_task
+from multimodal_umap_tpu.models.layout_sharded import (
+    sharded_chunk_runner,
+)
+from multimodal_umap_tpu.ops.graph import symmetrize_dense
+from multimodal_umap_tpu.parallel import (
+    DATA_AXIS,
+    collective_summary,
+    create_mesh,
+)
+
+N, K, D = 1024, 8, 16
+TABLE_BYTES = N * D * 4
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return create_mesh()
+
+
+def _fit_setup(mesh, num_modes=2):
+    rng = np.random.default_rng(0)
+    shard = NamedSharding(mesh, P(DATA_AXIS, None))
+    tasks, statics, params = [], [], []
+    for _ in range(num_modes):
+        nbrs = rng.integers(0, N, size=(N, K)).astype(np.int32)
+        w = rng.uniform(0.1, 1.0, size=(N, K)).astype(np.float32)
+        dense = symmetrize_dense(
+            jax.device_put(jnp.asarray(nbrs), shard),
+            jax.device_put(jnp.asarray(w), shard),
+        )
+        task, static = fit_task(dense, batch_size=128)
+        tasks.append(task)
+        statics.append(static)
+        params.append(jax.device_put(
+            jnp.asarray(rng.normal(size=(N, D)).astype(np.float32)), shard
+        ))
+    return tuple(tasks), tuple(statics), tuple(params)
+
+
+def test_fit_epoch_collective_bytes_bounded(mesh):
+    """Per epoch: exactly num_modes table all-gathers, num_modes
+    reduce-scatters, and total collective bytes < 3x the tables (the
+    GSPMD baseline was ~22x)."""
+    tasks, statics, params = _fit_setup(mesh)
+    _, run_chunk = sharded_chunk_runner(
+        statics, "fit", 4, 0.01, 1.0, 128, mesh
+    )
+    opt_state = optax.adam(0.01).init(params)
+    ab = (jnp.float32(1.577), jnp.float32(0.8951))
+    keys = jax.random.split(jax.random.PRNGKey(0), 1)  # ONE epoch
+    hlo = run_chunk(params, opt_state, tasks, ab, keys, lower_only=True)
+    s = collective_summary(hlo)
+
+    table_gathers = [
+        b for kind, _, b in s["ops"]
+        if kind == "all-gather" and b >= TABLE_BYTES
+    ]
+    assert len(table_gathers) == 2, s["ops"]
+    assert all(b == TABLE_BYTES for b in table_gathers), s["ops"]
+    # Gradient comes back as reduce-scatter (result = one shard), never
+    # as a full-table all-reduce.
+    rs = [b for kind, _, b in s["ops"] if kind == "reduce-scatter"]
+    assert len(rs) == 2, s["ops"]
+    big_ar = [
+        (kind, b) for kind, _, b in s["ops"]
+        if kind == "all-reduce" and b >= TABLE_BYTES
+    ]
+    assert not big_ar, s["ops"]
+    assert s["total_bytes"] < 3 * 2 * TABLE_BYTES, s["by_kind"]
+
+
+def test_transform_epochs_have_no_table_collectives(mesh):
+    """The frozen reference table is gathered once per CHUNK; epochs
+    then run with no table-sized collectives at all. Gate: a 4-epoch
+    chunk carries exactly ONE ref-table all-gather (scan-invariant,
+    hoisted), and total bytes stay ~independent of epoch count."""
+    rng = np.random.default_rng(1)
+    q = 256
+    shard2 = NamedSharding(mesh, P(DATA_AXIS, None))
+    nbrs = rng.integers(0, N, size=(q, K)).astype(np.int32)
+    w = rng.uniform(0.1, 1.0, size=(q, K)).astype(np.float32)
+    ref = rng.normal(size=(N, D)).astype(np.float32)
+    task, static = query_task(
+        jax.device_put(jnp.asarray(nbrs), shard2),
+        jax.device_put(jnp.asarray(w), shard2),
+        batch_size=128,
+        ref=jax.device_put(jnp.asarray(ref), shard2),
+    )
+    params = (jax.device_put(
+        jnp.asarray(rng.normal(size=(q, D)).astype(np.float32)), shard2
+    ),)
+    _, run_chunk = sharded_chunk_runner(
+        (static,), "transform", 4, 0.01, 0.0, 128, mesh
+    )
+    opt_state = optax.adam(0.01).init(params)
+    ab = (jnp.float32(1.577), jnp.float32(0.8951))
+
+    def bytes_for(epochs):
+        keys = jax.random.split(jax.random.PRNGKey(0), epochs)
+        hlo = run_chunk(params, opt_state, (task,), ab, keys,
+                        lower_only=True)
+        return collective_summary(hlo)
+
+    s4 = bytes_for(4)
+    ref_bytes = N * D * 4
+    table_gathers = [
+        b for kind, _, b in s4["ops"]
+        if kind == "all-gather" and b >= ref_bytes
+    ]
+    assert len(table_gathers) == 1, s4["ops"]
+    # No per-epoch gradient reduction exists in query mode (anchor-side
+    # gradients are local): nothing table-sized beyond the one gather.
+    assert s4["total_bytes"] < 2 * ref_bytes, s4["by_kind"]
