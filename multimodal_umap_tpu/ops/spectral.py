@@ -70,14 +70,16 @@ def _spectral_lobpcg(graph: EdgeGraph, out_dim: int, max_iters: int = 64):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("out_dim", "degree", "rounds", "guard")
+    jax.jit,
+    static_argnames=("out_dim", "degree", "max_rounds", "guard", "tol"),
 )
 def _spectral_chebyshev(
     graph: EdgeGraph,
     out_dim: int,
     degree: int = 24,
-    rounds: int = 3,
+    max_rounds: int = 8,
     guard: int = 8,
+    tol: float = 2e-3,
 ):
     """Chebyshev-filtered subspace iteration + one Rayleigh-Ritz.
 
@@ -102,6 +104,16 @@ def _spectral_chebyshev(
     (the ChebFD scheme): the lower damp edge is the largest Ritz value
     of the current block, which monotonically tightens toward the true
     (m)-th eigenvalue -- no spectrum knowledge needed up front.
+
+    Stopping is residual-based (VERDICT r2 next-step 10): rounds repeat
+    in a ``lax.while_loop`` until the worst per-vector residual
+    ``max_j ||L v_j - theta_j v_j||`` over the RETURNED (non-guard)
+    columns falls to ``tol``, capped at ``max_rounds``. The fixed
+    (degree=24, rounds=3) schedule was tuned at N=31744/out_dim=64 and
+    could silently under-converge at other scales; the residual check
+    costs one extra block matvec per round (~1/degree of the round) and
+    makes convergence a measured property at every N
+    (tools/check_spectral_convergence.py records it at scale).
     """
     n = graph.num_rows
     m = out_dim + 1 + guard
@@ -121,6 +133,13 @@ def _spectral_chebyshev(
 
     hi = 2.0 + 2.0 * _EPS_SHIFT
 
+    def block_residual(x, theta):
+        """Worst ||L v_j - theta_j v_j|| over the returned columns
+        (Ritz vectors are unit-norm after Rayleigh-Ritz)."""
+        keep = x[:, : out_dim + 1]
+        r = lap(keep) - keep * theta[None, : out_dim + 1]
+        return jnp.max(jnp.sqrt(jnp.sum(r * r, axis=0)))
+
     key = jax.random.PRNGKey(42)
     x = jax.random.normal(key, (n, m), dtype=jnp.float32)
     trivial = 1.0 / d_inv_sqrt
@@ -128,7 +147,8 @@ def _spectral_chebyshev(
     x, _ = jnp.linalg.qr(x)
     x, theta = rayleigh_ritz(x)
 
-    for _ in range(rounds):
+    def one_round(carry):
+        x, theta, _, i = carry
         # Damp [lo, hi] where lo is the block's largest Ritz value,
         # kept strictly inside the spectrum interval.
         lo = jnp.clip(theta[-1], 0.05 * hi, 0.95 * hi)
@@ -149,6 +169,16 @@ def _spectral_chebyshev(
             y_prev = y_prev * scale
         x, _ = jnp.linalg.qr(y)
         x, theta = rayleigh_ritz(x)
+        return x, theta, block_residual(x, theta), i + 1
+
+    def keep_going(carry):
+        _, _, resid, i = carry
+        return (i < max_rounds) & (resid > tol)
+
+    x, theta, _, _ = jax.lax.while_loop(
+        keep_going, one_round,
+        (x, theta, jnp.float32(jnp.inf), jnp.int32(0)),
+    )
 
     # Drop the trivial eigenvector, keep the next out_dim.
     return x[:, 1 : out_dim + 1]
