@@ -126,24 +126,24 @@ def main() -> None:
     if args.load_pretrained == "yes":
         model = MultimodalUMAP.load_state_dict(args.save_path)
     else:
-        if mesh is None:
-            # Warm the eval executables on a background thread while fit
-            # keeps the device busy (eval/prewarm.py; returns None --
-            # skipped -- on CPU or under MMUMAP_PREWARM=0). Mesh runs
-            # skip it here: their executables are keyed on shardings
-            # the dummy model does not carry.
-            from multimodal_umap_tpu.eval import start_eval_prewarm
+        # Warm the eval executables on a background thread while fit
+        # keeps the device busy (eval/prewarm.py; returns None --
+        # skipped -- on CPU or under MMUMAP_PREWARM=0). Mesh runs pass
+        # the mesh so the forged state carries the run's shardings
+        # (VERDICT r2 next-step 7).
+        from multimodal_umap_tpu.eval import start_eval_prewarm
 
-            keys = list(train_split)
-            prewarm = start_eval_prewarm(
-                n_train=int(train_split[keys[0]].shape[0]),
-                dims=tuple(int(train_split[k].shape[1]) for k in keys),
-                cfg=cfg,
-                q_main=int(test_split[keys[0]].shape[0]),
-                q_recon=16,
-                k_test=args.k_test,
-                data_arrays=[train_split[k] for k in keys],
-            )
+        keys = list(train_split)
+        prewarm = start_eval_prewarm(
+            n_train=int(train_split[keys[0]].shape[0]),
+            dims=tuple(int(train_split[k].shape[1]) for k in keys),
+            cfg=cfg,
+            q_main=int(test_split[keys[0]].shape[0]),
+            q_recon=16,
+            k_test=args.k_test,
+            data_arrays=[train_split[k] for k in keys],
+            mesh=mesh,
+        )
         model = train(train_split, cfg, mesh=mesh, verbose=True)
         write_loss_log(cfg.log_dir, "fit", model.loss_history["fit"])
 

@@ -79,6 +79,29 @@ def preprocess_image(img: np.ndarray) -> np.ndarray:
     return (img - 0.5) / 0.5
 
 
+def _batch_placer(mesh):
+    """Returns a placer that shards a batch's leading axis over the
+    mesh's data axis (identity when ``mesh`` is None).
+
+    The batch must be divisible by the mesh size -- extract_features
+    pads its final partial batch up to ``batch_size`` (itself validated
+    mesh-divisible) so every forward hits the one compiled
+    data-parallel program.
+    """
+    if mesh is None:
+        return lambda x: x
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    axis = mesh.axis_names[0]
+
+    def rows(x):
+        spec = PartitionSpec(axis, *([None] * (np.ndim(x) - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return rows
+
+
 _BERT_NAME = "google-bert/bert-base-uncased"
 _VAE_NAME = "stabilityai/sd-vae-ft-mse"
 
@@ -108,7 +131,7 @@ def resolve_vae_dir(name_or_dir: str = _VAE_NAME) -> str:
 
 
 def load_hf_encoders(
-    bert_name: str = _BERT_NAME, vae_name: str = _VAE_NAME
+    bert_name: str = _BERT_NAME, vae_name: str = _VAE_NAME, mesh=None
 ) -> Encoders:
     """Flax BERT pooler + native Flax SD-VAE posterior-mean encoders.
 
@@ -116,6 +139,14 @@ def load_hf_encoders(
     (multimodal_umap_tpu/nn/vae.py; torch-checkpoint weights converted
     directly -- no diffusers dependency). Requires the HF hub or warm
     local checkpoints (``MMUMAP_VAE_DIR`` / local paths accepted).
+
+    With ``mesh`` (a ``jax.sharding.Mesh``), every forward batch is
+    placed with its batch axis sharded over the mesh's data axis before
+    the jitted forward runs, so GSPMD compiles the frozen-model
+    inference data-parallel across the mesh (SURVEY.md §2.9 row 5:
+    "jit-batched, data-parallel across the mesh"; the reference's
+    extraction is single-device, impl/dataset.py:27-58). Weights stay
+    replicated -- BERT-base + SD-VAE fit trivially per chip.
     """
     import jax
     import jax.numpy as jnp
@@ -123,6 +154,7 @@ def load_hf_encoders(
 
     from ..nn.vae import load_vae
 
+    rows = _batch_placer(mesh)
     tokenizer = AutoTokenizer.from_pretrained(bert_name)
     try:
         bert = FlaxBertModel.from_pretrained(bert_name, dtype=jnp.float32)
@@ -151,14 +183,16 @@ def load_hf_encoders(
             truncation=True, max_length=128,
         )
         return np.asarray(bert_forward(
-            tok["input_ids"], tok["attention_mask"], tok["token_type_ids"]
+            rows(tok["input_ids"]),
+            rows(tok["attention_mask"]),
+            rows(tok["token_type_ids"]),
         ))
 
     def encode_images(pixels_nhwc: np.ndarray) -> np.ndarray:
         # Posterior MEAN, matching reference impl/dataset.py:57; NCHW
         # flattening order matches the reference's (B, 4, 32, 32).
-        nchw = pixels_nhwc.transpose(0, 3, 1, 2)
-        latents = np.asarray(vae.encode_mean(nchw))
+        nchw = np.asarray(pixels_nhwc).transpose(0, 3, 1, 2)
+        latents = np.asarray(vae.encode_mean(rows(nchw)))
         return latents.reshape(latents.shape[0], -1)
 
     return Encoders(encode_texts=encode_texts, encode_images=encode_images)
@@ -168,20 +202,40 @@ def extract_features(
     samples: typing.Iterable[dict],
     encoders: Encoders,
     batch_size: int = 64,
+    mesh=None,
 ) -> dict:
     """Streams samples through the encoders in fixed batches.
 
     Each sample is a dict with ``alt_text`` (list of captions; only the
     FIRST is used, reference impl/dataset.py:47) and ``image`` (a PIL
     image or (H, W, 3) array).
+
+    With ``mesh``, the final partial batch is padded up to
+    ``batch_size`` (duplicating the last sample) and the padding rows
+    dropped after encoding, so every batch keeps the one
+    mesh-divisible shape the data-parallel encoders compiled for
+    (``load_hf_encoders(mesh=...)`` places the batch axis sharded).
+    Per-sample features are unchanged: both encoders are row-wise maps.
     """
+    if mesh is not None and batch_size % mesh.devices.size != 0:
+        raise ValueError(
+            f"batch_size={batch_size} not divisible by the "
+            f"{mesh.devices.size}-device mesh"
+        )
     texts, images = [], []
     batch_texts: list[str] = []
     batch_imgs: list[np.ndarray] = []
+    total = 0
 
     def flush():
+        nonlocal total
         if not batch_texts:
             return
+        total += len(batch_texts)
+        if mesh is not None and len(batch_texts) < batch_size:
+            pad = batch_size - len(batch_texts)
+            batch_texts.extend([batch_texts[-1]] * pad)
+            batch_imgs.extend([batch_imgs[-1]] * pad)
         texts.append(encoders.encode_texts(list(batch_texts)))
         images.append(encoders.encode_images(np.stack(batch_imgs)))
         batch_texts.clear()
@@ -200,8 +254,8 @@ def extract_features(
     if not texts:
         raise ValueError("no samples to extract features from")
     return {
-        "texts": np.concatenate(texts, axis=0),
-        "images": np.concatenate(images, axis=0),
+        "texts": np.concatenate(texts, axis=0)[:total],
+        "images": np.concatenate(images, axis=0)[:total],
     }
 
 
@@ -210,11 +264,14 @@ def load_data(
     cache_dir: str = _CACHE_DIR,
     batch_size: int = 64,
     encoders: Encoders | None = None,
+    mesh=None,
 ) -> dict:
     """Cached flickr30k features (reference impl/dataset.py:9-69).
 
     Cache hit -> load npz. Miss -> stream + extract + cache. No network
     and no cache -> RuntimeError pointing at the synthetic fallback.
+    ``mesh`` makes the extraction forward passes data-parallel
+    (see :func:`extract_features` / :func:`load_hf_encoders`).
     """
     cached = load_cached(split, cache_dir)
     if cached is not None:
@@ -225,8 +282,9 @@ def load_data(
         stream = load_dataset("AnyModal/flickr30k", split=split,
                               streaming=True)
         if encoders is None:
-            encoders = load_hf_encoders()
-        data = extract_features(stream, encoders, batch_size=batch_size)
+            encoders = load_hf_encoders(mesh=mesh)
+        data = extract_features(stream, encoders, batch_size=batch_size,
+                                mesh=mesh)
     except Exception as exc:
         raise RuntimeError(
             f"no cached features at {cache_path(split, cache_dir)} and "

@@ -55,6 +55,7 @@ def start_eval_prewarm(
     seed: int = 0,
     data_arrays: typing.Sequence[jax.Array] | None = None,
     force: bool = False,
+    mesh=None,
 ) -> threading.Thread | None:
     """Starts a daemon thread that warms every eval-phase executable.
 
@@ -78,6 +79,11 @@ def start_eval_prewarm(
             the largest tables in HBM). Shapes must be
             ``(n_train, dims[i])``; falls back to fresh random arrays
             when omitted.
+        mesh: the run's ``jax.sharding.Mesh`` (or None). The forged
+            state is placed with the SAME ShardingPlan helpers the real
+            fit uses, so the warmed executables carry the run's
+            shardings -- mesh runs no longer re-pay the ~10 s eval
+            first-call cost (VERDICT r2 next-step 7).
     """
     from ..models.mixture import MultimodalUMAP
     from .validation import embed_and_recon, knn_test, similarity_test
@@ -111,30 +117,42 @@ def start_eval_prewarm(
             m = len(dims)
             model = MultimodalUMAP(
                 cfg.k_neighbors, cfg.out_dim, cfg.min_dist, num_encoders=m,
-                seed=seed,
+                seed=seed, mesh=mesh,
+                knn_engine=getattr(cfg, "knn_engine", None),
             )
+            # Forged state must carry the run's placements: executables
+            # are keyed on input shardings, so a replicated dummy would
+            # warm programs a mesh run never calls. Same helper the
+            # real fit uses (mixture.fit -> plan.rows).
+            if mesh is not None:
+                from ..parallel.mesh import ShardingPlan
+
+                rows = ShardingPlan(mesh).rows
+            else:
+                def rows(x):
+                    return x
             keys = jax.random.split(jax.random.PRNGKey(seed), 2 * m)
             # Forge shape-identical fitted state (values irrelevant --
             # executables are keyed on shapes + static config only).
             if data_arrays is not None:
                 # jnp.asarray: aliases device f32 arrays (no copy);
                 # uploads host arrays once.
-                model.data = [jnp.asarray(x, dtype=jnp.float32)
+                model.data = [rows(jnp.asarray(x, dtype=jnp.float32))
                               for x in data_arrays]
             else:
                 model.data = [
-                    jax.random.normal(keys[i], (n_train, d),
-                                      dtype=jnp.float32)
+                    rows(jax.random.normal(keys[i], (n_train, d),
+                                           dtype=jnp.float32))
                     for i, d in enumerate(dims)
                 ]
             model.embeds = [
-                jax.random.normal(keys[m + i], (n_train, cfg.out_dim),
-                                  dtype=jnp.float32)
+                rows(jax.random.normal(keys[m + i], (n_train, cfg.out_dim),
+                                       dtype=jnp.float32))
                 for i in range(m)
             ]
             for enc in model.encoders:
-                enc.sigmas = jnp.ones((n_train,), dtype=jnp.float32)
-                enc.rhos = jnp.zeros((n_train,), dtype=jnp.float32)
+                enc.sigmas = rows(jnp.ones((n_train,), dtype=jnp.float32))
+                enc.rhos = rows(jnp.zeros((n_train,), dtype=jnp.float32))
             test = {
                 f"modality_{i}": jax.random.normal(
                     keys[i], (q_main, d), dtype=jnp.float32)

@@ -50,6 +50,73 @@ def test_extract_batches_and_first_caption(rng):
     assert out["texts"][0, 0] == len("caption ")
 
 
+def test_extract_features_mesh_matches_single_device(rng):
+    """Mesh-sharded extraction (VERDICT r2 next-step 6): batches run
+    data-parallel over the 8-device mesh, the final partial batch is
+    padded to the compiled batch shape, and per-sample features are
+    identical to the single-device path."""
+    import jax
+
+    from multimodal_umap_tpu.data.flickr30k import _batch_placer
+    from multimodal_umap_tpu.parallel import create_mesh
+
+    mesh = create_mesh()
+    rows = _batch_placer(mesh)
+    proj = np.asarray(
+        np.random.default_rng(7).normal(size=(256 * 256 * 3, 6)),
+        dtype=np.float32,
+    )
+
+    @jax.jit
+    def image_forward(px):
+        return px.reshape(px.shape[0], -1) @ proj
+
+    seen_shardings = []
+
+    def make_encoders(place):
+        def encode_texts(texts):
+            return np.stack([
+                np.full(4, float(len(t)), dtype=np.float32) for t in texts
+            ])
+
+        def encode_images(pixels):
+            placed = place(np.asarray(pixels))
+            if hasattr(placed, "sharding"):
+                seen_shardings.append(placed.sharding)
+            return np.asarray(image_forward(placed))
+
+        return Encoders(encode_texts=encode_texts,
+                        encode_images=encode_images)
+
+    # 21 samples, batch 8: mesh path pads the final 5-row batch to 8.
+    # Fresh identically-seeded generators: both paths see the same data.
+    single = extract_features(
+        _samples(21, np.random.default_rng(3)),
+        make_encoders(lambda x: x), batch_size=8,
+    )
+    sharded = extract_features(
+        _samples(21, np.random.default_rng(3)),
+        make_encoders(rows), batch_size=8, mesh=mesh,
+    )
+    assert sharded["texts"].shape == (21, 4)
+    assert sharded["images"].shape == (21, 6)
+    np.testing.assert_allclose(sharded["texts"], single["texts"])
+    # f32 accumulation order differs across device placements; the
+    # 196k-long reductions here carry ~1e-3 absolute noise (measured).
+    np.testing.assert_allclose(sharded["images"], single["images"],
+                               rtol=1e-3, atol=5e-3)
+    # Every mesh-path forward really ran on a batch sharded over the
+    # 8-device data axis.
+    assert len(seen_shardings) == 3
+    for s in seen_shardings:
+        assert not s.is_fully_replicated
+        assert s.num_devices == 8
+
+    with pytest.raises(ValueError, match="not divisible"):
+        extract_features(_samples(4, np.random.default_rng(0)),
+                         make_encoders(rows), batch_size=4, mesh=mesh)
+
+
 def test_preprocess_image_range(rng):
     img = rng.integers(0, 255, size=(100, 80, 3)).astype(np.uint8)
     processed = preprocess_image(img)

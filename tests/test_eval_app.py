@@ -152,6 +152,22 @@ def test_eval_prewarm_aliases_data_arrays(fitted_model, cfg):
     assert thread.prewarm_status["error"] is None
 
 
+def test_eval_prewarm_under_mesh(cfg):
+    """Mesh runs warm mesh-keyed executables: the forged state is placed
+    with the run's ShardingPlan, so the warmed programs carry the same
+    shardings the real mesh eval will use (VERDICT r2 next-step 7)."""
+    from multimodal_umap_tpu.eval import start_eval_prewarm
+    from multimodal_umap_tpu.parallel import create_mesh
+
+    thread = start_eval_prewarm(
+        n_train=160, dims=(20, 4096), cfg=cfg, q_main=48, q_recon=4,
+        k_test=5, force=True, mesh=create_mesh(),
+    )
+    thread.join(timeout=600)
+    assert not thread.is_alive()
+    assert thread.prewarm_status["error"] is None
+
+
 def test_eval_prewarm_skips_on_cpu_and_validates_data(fitted_model, cfg):
     """Without force, the CPU backend skips the prewarm entirely (the
     warm-up would contend with a host-bound fit); mismatched
