@@ -8,6 +8,8 @@ any network access.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 
@@ -21,6 +23,8 @@ def clustered_modalities_device(
     centers_seed: int | None = None,
     latent_dim: int = 0,
     latent_scale: float = 2.0,
+    dtype=None,
+    row_chunk: int = 0,
 ) -> dict:
     """Device-side variant of :func:`clustered_modalities` (jax.random).
 
@@ -41,10 +45,20 @@ def clustered_modalities_device(
     isotropic noise is independent per modality, making per-row
     retrieval information-free -- VERDICT r2 weak #2). Zero keeps the
     legacy stream bitwise.
+
+    ``dtype`` (default f32) sets the OUTPUT dtype; with
+    ``row_chunk > 0`` each modality is generated in row chunks written
+    into a donated preallocated buffer, so the f32 draw transient is
+    ``row_chunk x d`` instead of ``n_samples x d`` -- the enabler for
+    beyond-HBM tables (a 1M x 4096 f32 transient is 16.8 GB; bf16
+    output + 128k chunks peak at ~8.6 GB). Chunked draws use per-chunk
+    fold_in keys, so the stream differs from the unchunked path
+    (distribution identical).
     """
     import jax
     import jax.numpy as jnp
 
+    out_dtype = jnp.float32 if dtype is None else dtype
     if centers_seed is None:
         centers_seed = seed
     key = jax.random.PRNGKey(seed)
@@ -60,21 +74,49 @@ def clustered_modalities_device(
         if len(dims) == 2
         else [f"mod{i}" for i in range(len(dims))]
     )
+
+    def draw(key_n, centers, lab_slice, z_slice, proj):
+        x = centers[lab_slice] + jax.random.normal(
+            key_n, (lab_slice.shape[0], centers.shape[1])) * noise_scale
+        if proj is not None:
+            x = x + (z_slice @ proj) * latent_scale
+        return x.astype(out_dtype)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def _write(buf, chunk, start):
+        # Donated buffer: XLA updates in place, so the full-size array
+        # is never duplicated during the chunked fill.
+        return jax.lax.dynamic_update_slice(
+            buf, chunk, (start,) + (0,) * (buf.ndim - 1))
+
     out = {}
     for name, d in zip(names, dims):
         key_c, centers_key = jax.random.split(centers_key)
         key_n, key = jax.random.split(key)
         centers = jax.random.normal(key_c, (n_clusters, d)) * cluster_scale
-        x = centers[labels] + jax.random.normal(
-            key_n, (n_samples, d)) * noise_scale
+        proj = None
         if z is not None:
             key_m, centers_key = jax.random.split(centers_key)
             # Normalized projection: each latent unit contributes O(1)
             # per feature, so latent_scale is comparable to noise_scale.
             proj = jax.random.normal(key_m, (latent_dim, d))
             proj = proj / jnp.sqrt(jnp.float32(latent_dim))
-            x = x + (z @ proj) * latent_scale
-        out[name] = x.astype(jnp.float32)
+        if row_chunk <= 0 or row_chunk >= n_samples:
+            out[name] = draw(key_n, centers, labels,
+                             z if z is not None else None, proj)
+            continue
+        buf = jnp.zeros((n_samples, d), dtype=out_dtype)
+        for start in range(0, n_samples, row_chunk):
+            stop = min(start + row_chunk, n_samples)
+            chunk = draw(
+                jax.random.fold_in(key_n, start),
+                centers,
+                labels[start:stop],
+                z[start:stop] if z is not None else None,
+                proj,
+            )
+            buf = _write(buf, chunk, jnp.int32(start))
+        out[name] = buf
     return out
 
 

@@ -64,6 +64,7 @@ class MultimodalUMAP:
         mesh=None,
         spectral_method: str = "auto",
         knn_engine: str | None = None,
+        feature_dtype: str = "float32",
     ):
         self.k_neighbors = k_neighbors
         self.out_dim = out_dim
@@ -80,6 +81,17 @@ class MultimodalUMAP:
         # kNN engine (ops/knn.py); None = backend default (bf16 panel +
         # exact f32 re-score on TPU, f32-highest panels on CPU).
         self.knn_engine = knn_engine
+        # Storage dtype of the training feature tables. "bfloat16"
+        # halves the largest arrays in HBM (a 1M x 4096 f32 table is
+        # 16.8 GB -- over one v5e's 16 GB): the kNN sweep then feeds the
+        # MXU its native input dtype directly, re-scoring distances
+        # exactly w.r.t. the stored values; graph/sigma/layout math
+        # stays f32 (everything downstream of the distances already is).
+        if feature_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"feature_dtype must be float32 or bfloat16, "
+                f"got {feature_dtype!r}")
+        self.feature_dtype = feature_dtype
 
         self.a, self.b = self.get_ab_coeffs(min_dist)
 
@@ -132,7 +144,21 @@ class MultimodalUMAP:
             verbose: print the loss at every epoch-chunk boundary (the
                 reference's tqdm loss readout, SURVEY.md §5.5).
         """
-        self.data = [_as_f32(x) for x in inputs]
+        # Storage cast (HBM halving; see __init__) goes DIRECT to the
+        # target dtype: routing an already-bf16 1M x 4096 table through
+        # f32 first would materialize the 16.8 GB transient the storage
+        # policy exists to avoid. Downstream consumers upcast where math
+        # needs f32: the kNN engine routes bf16 tables through the
+        # streamed bf16-rank + exact-rescore path (ops/knn.py),
+        # invert-mode gathers promote per JAX type rules, and the
+        # checkpoint bit-views bf16 through npz (utils/checkpoint.py).
+        tgt = (jnp.bfloat16 if self.feature_dtype == "bfloat16"
+               else jnp.float32)
+        self.data = [
+            x.astype(tgt) if isinstance(x, jax.Array)
+            else jnp.asarray(np.asarray(x), dtype=tgt)
+            for x in inputs
+        ]
         if len(self.data) != self.num_encoders:
             raise ValueError(
                 f"expected {self.num_encoders} modalities, got {len(self.data)}"
@@ -473,6 +499,13 @@ class MultimodalUMAP:
             enc.sigmas = sig
             enc.rhos = rho
         model.data = state["data"]
+        # Inferred, not persisted: the checkpoint stores dtypes exactly,
+        # so the tables themselves carry the storage policy.
+        model.feature_dtype = (
+            "bfloat16"
+            if any(d.dtype == jnp.bfloat16 for d in model.data)
+            else "float32"
+        )
         model.graphs = state["graphs"]
         model.embeds = state["embeds"]
         model.loss_history = {}

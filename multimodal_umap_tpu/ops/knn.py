@@ -140,6 +140,8 @@ def _exact_rescore_sq(
     Direct ``sum((q - r)^2)`` form (no cancellation). The (rows, cand,
     D) candidate gather is the transient -- scanned in ``chunk``-row
     slices so peak extra memory is ``chunk * cand * D`` floats.
+    bf16-stored tables upcast per chunk, so "exact" means exact w.r.t.
+    the stored values at every storage dtype.
     """
     num_q, cand = ids.shape
     pad = -(-num_q // chunk) * chunk - num_q
@@ -151,8 +153,8 @@ def _exact_rescore_sq(
 
     def chunk_step(_, xs):
         q_c, id_c = xs
-        rows = references[id_c]  # (chunk, cand, D)
-        diff = q_c[:, None, :] - rows
+        rows = references[id_c].astype(jnp.float32)  # (chunk, cand, D)
+        diff = q_c.astype(jnp.float32)[:, None, :] - rows
         return None, jnp.sum(diff * diff, axis=2)
 
     _, d2 = jax.lax.scan(chunk_step, None, (qs, idss))
@@ -270,8 +272,12 @@ def knn(
     # sizes. engine="xla" keeps flat per-block dispatches below the
     # ~4 GiB panel threshold (its panels are f32-highest either way)
     # and streams above it.
+    bf16_stored = (
+        getattr(queries, "dtype", None) == jnp.bfloat16
+        or getattr(references, "dtype", None) == jnp.bfloat16
+    )
     panel_bytes = 4 * row_block * references.shape[0]
-    if engine in ("bf16", "stream") or (
+    if bf16_stored or engine in ("bf16", "stream") or (
         engine == "xla" and panel_bytes > 4 * 1024**3
     ):
         from .knn_stream import knn_streamed

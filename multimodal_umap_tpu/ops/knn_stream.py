@@ -70,9 +70,17 @@ def _panel_sq(
 
     With ``bf16`` the matmul runs single-pass bf16 (f32 accumulation):
     ~6x the f32-highest FLOP rate, values good only for *ranking*.
+
+    Inputs may be stored bf16 (beyond-HBM feature tables -- a 1M x 4096
+    f32 table is 16.8 GB, over one v5e's HBM): the squared-norm
+    reductions upcast to f32 element-wise (XLA fuses the upcast, no
+    materialized copy) and the cross term feeds the MXU at its native
+    input dtype.
     """
-    q_sq = jnp.sum(q_blk * q_blk, axis=1, keepdims=True)
-    r_sq = jnp.sum(r_blk * r_blk, axis=1)
+    qf = q_blk.astype(jnp.float32)
+    rf = r_blk.astype(jnp.float32)
+    q_sq = jnp.sum(qf * qf, axis=1, keepdims=True)
+    r_sq = jnp.sum(rf * rf, axis=1)
     if bf16:
         cross = jnp.dot(
             q_blk.astype(jnp.bfloat16), r_blk.astype(jnp.bfloat16).T,
@@ -80,7 +88,7 @@ def _panel_sq(
         )
     else:
         cross = jnp.dot(
-            q_blk, r_blk.T,
+            qf, rf.T,
             preferred_element_type=jnp.float32,
             precision="highest",
         )
@@ -268,9 +276,19 @@ def knn_streamed(
     sweep ranks a widened candidate set at bf16 speed and re-scores it
     exactly at the end (see module docstring). The whole engine is one
     dispatch (:func:`_streamed_fused`).
+
+    bf16-STORED tables pass through without an f32 copy (the copy is
+    what would not fit -- that is why they are bf16); ranking is then
+    forced to the bf16 path and the re-score upcasts per chunk, so
+    distances are exact w.r.t. the stored values.
     """
-    q = jnp.asarray(queries, dtype=jnp.float32)
-    r = jnp.asarray(references, dtype=jnp.float32)
+    q = jnp.asarray(queries)
+    r = jnp.asarray(references)
+    if r.dtype == jnp.bfloat16 or q.dtype == jnp.bfloat16:
+        bf16 = True
+    else:
+        q = q.astype(jnp.float32)
+        r = r.astype(jnp.float32)
     num_q, num_r = q.shape[0], r.shape[0]
     if k > num_r - (1 if exclude_self else 0):
         raise ValueError(f"k={k} exceeds available references ({num_r})")

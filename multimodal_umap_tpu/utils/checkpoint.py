@@ -32,6 +32,11 @@ def save_state(path: str, state: dict, compress: bool = False) -> None:
     ``compress`` defaults to False: the state includes the raw feature
     matrices (hundreds of MB at flickr scale) and zlib on this class of
     single-vCPU host costs far more than the disk it saves.
+
+    bf16 arrays (beyond-HBM feature tables, models/mixture.py
+    ``feature_dtype``) are stored as uint16 bit views -- npz writes
+    ml_dtypes.bfloat16 as an opaque void dtype otherwise -- with their
+    keys recorded in the meta so :func:`load_state` restores the dtype.
     """
     meta = {
         "schema": _SCHEMA_VERSION,
@@ -59,6 +64,12 @@ def save_state(path: str, state: dict, compress: bool = False) -> None:
         arrays[f"graph_{i}_weights"] = np.asarray(g.weights)
         arrays[f"graph_{i}_valid"] = np.asarray(g.valid)
 
+    bf16_keys = [k for k, v in arrays.items()
+                 if v.dtype == jnp.bfloat16.dtype]
+    for k in bf16_keys:
+        arrays[k] = arrays[k].view(np.uint16)
+    meta["bf16_keys"] = bf16_keys
+
     dirname = os.path.dirname(path)
     if dirname:
         os.makedirs(dirname, exist_ok=True)
@@ -74,6 +85,13 @@ def load_state(path: str) -> dict:
     with np.load(path, allow_pickle=False) as z:
         meta = json.loads(str(z["meta"]))
         n = meta["num_encoders"]
+        bf16_keys = set(meta.get("bf16_keys", ()))
+
+        def arr(key):
+            a = z[key]
+            if key in bf16_keys:
+                a = a.view(jnp.bfloat16.dtype)
+            return jnp.asarray(a)
         state = {
             "k_neighbors": meta["k_neighbors"],
             "out_dim": meta["out_dim"],
@@ -91,17 +109,17 @@ def load_state(path: str) -> dict:
             "graphs": [],
         }
         for i in range(n):
-            state["sigmas"].append(jnp.asarray(z[f"sigmas_{i}"]))
-            state["rhos"].append(jnp.asarray(z[f"rhos_{i}"]))
-            state["data"].append(jnp.asarray(z[f"data_{i}"]))
-            state["embeds"].append(jnp.asarray(z[f"embeds_{i}"]))
+            state["sigmas"].append(arr(f"sigmas_{i}"))
+            state["rhos"].append(arr(f"rhos_{i}"))
+            state["data"].append(arr(f"data_{i}"))
+            state["embeds"].append(arr(f"embeds_{i}"))
             num_rows, num_cols = meta["graph_shapes"][i]
             state["graphs"].append(
                 EdgeGraph(
-                    rows=jnp.asarray(z[f"graph_{i}_rows"]),
-                    cols=jnp.asarray(z[f"graph_{i}_cols"]),
-                    weights=jnp.asarray(z[f"graph_{i}_weights"]),
-                    valid=jnp.asarray(z[f"graph_{i}_valid"]),
+                    rows=arr(f"graph_{i}_rows"),
+                    cols=arr(f"graph_{i}_cols"),
+                    weights=arr(f"graph_{i}_weights"),
+                    valid=arr(f"graph_{i}_valid"),
                     num_rows=int(num_rows),
                     num_cols=int(num_cols),
                 )

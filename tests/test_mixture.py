@@ -138,3 +138,60 @@ def test_spectral_method_knob(rng):
     from multimodal_umap_tpu import Config
 
     assert Config(spectral_method="lobpcg").spectral_method == "lobpcg"
+
+
+def test_feature_dtype_bf16_full_lifecycle(blobs, tmp_path):
+    """bf16 feature storage (the beyond-HBM enabler: a 1M x 4096 f32
+    table is 16.8 GB > one v5e's HBM). Tables are stored bfloat16,
+    the kNN engine ranks bf16 + re-scores exactly w.r.t. the stored
+    values, and every downstream consumer (transform, invert,
+    checkpoint) handles the dtype; graph/layout math stays f32."""
+    import jax.numpy as jnp
+
+    x0, x1, labels = blobs
+    model = MultimodalUMAP(10, 4, 0.1, num_encoders=2,
+                           feature_dtype="bfloat16")
+    model.fit([x0, x1], epochs=60, num_rep=4, lr=0.05, alpha=0.5,
+              batch_size=64)
+    assert all(d.dtype == jnp.bfloat16 for d in model.data)
+    assert all(e.dtype == jnp.float32 for e in model.embeds)
+    assert np.all(np.isfinite(model.loss_history["fit"]))
+
+    # Quality survives the storage cast: same-cluster rows stay closer.
+    emb = np.asarray(model.embeds[0])
+    d = np.linalg.norm(emb[:, None] - emb[None, :], axis=2)
+    same = labels[:, None] == labels[None, :]
+    off_diag = ~np.eye(len(labels), dtype=bool)
+    assert d[same & off_diag].mean() < 0.6 * d[~same].mean()
+
+    # Out-of-sample transform against the bf16 table.
+    out = model.transform([x0[:16]], epochs=20, data_indices=[0],
+                          num_rep=2, lr=0.05, batch_size=64)
+    assert out[0].dtype == jnp.float32
+    assert np.all(np.isfinite(np.asarray(out[0])))
+
+    # Invert path: init + losses against the bf16 data table, f32 out.
+    rec = model.inverse_transform([out[0]], epochs=20, data_indices=[0],
+                                  num_rep=2, lr=0.05, batch_size=64)
+    assert rec[0].dtype == jnp.float32
+    assert rec[0].shape == (16, x0.shape[1])
+    assert np.all(np.isfinite(np.asarray(rec[0])))
+
+    # Checkpoint round-trip preserves the storage dtype (npz bit-view,
+    # utils/checkpoint.py) and re-infers feature_dtype on load.
+    path = str(tmp_path / "bf16_model.npz")
+    model.save_state_dict(path)
+    loaded = MultimodalUMAP.load_state_dict(path)
+    assert loaded.feature_dtype == "bfloat16"
+    assert all(d.dtype == jnp.bfloat16 for d in loaded.data)
+    np.testing.assert_array_equal(
+        np.asarray(loaded.data[0], dtype=np.float32),
+        np.asarray(model.data[0], dtype=np.float32),
+    )
+    np.testing.assert_allclose(np.asarray(loaded.embeds[0]),
+                               np.asarray(model.embeds[0]))
+
+
+def test_feature_dtype_validation():
+    with pytest.raises(ValueError, match="feature_dtype"):
+        MultimodalUMAP(5, 2, 0.1, num_encoders=1, feature_dtype="fp8")

@@ -5,7 +5,13 @@ Synthetic features at the real geometry (N=31744 pairs, 768/4096 dims,
 canonical CLI hyperparameters: k=15, out_dim=64, 600 train epochs,
 120 test epochs, lr=0.01, alpha=1.0, batch=256).
 
-Usage: python -u tools/run_flickr_scale_e2e.py [n_train] [n_test]
+Usage: python -u tools/run_flickr_scale_e2e.py [n_train] [n_test] [dtype]
+
+``dtype`` = ``bfloat16`` stores the feature tables bf16 (halving their
+HBM) and generates them in row chunks -- required at N=1M, where the
+f32 image table alone (16.8 GB) exceeds one v5e's HBM. The kNN engine
+then ranks bf16 and re-scores exactly w.r.t. the stored values
+(models/mixture.py ``feature_dtype``).
 """
 
 import sys
@@ -40,11 +46,20 @@ def main():
     enable_compilation_cache()
     n_train = int(sys.argv[1]) if len(sys.argv) > 1 else 31744
     n_test = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    feature_dtype = sys.argv[3] if len(sys.argv) > 3 else "float32"
+
+    import jax.numpy as jnp
+
+    gen_kwargs = {}
+    if feature_dtype == "bfloat16":
+        # Chunked bf16 generation: the f32 draw transient stays at
+        # row_chunk x 4096 instead of n_train x 4096.
+        gen_kwargs = {"dtype": jnp.bfloat16, "row_chunk": 131072}
 
     cfg = Config()  # canonical reference CLI defaults
     train = clustered_modalities_device(n_train, dims=(768, 4096),
                                         n_clusters=256, seed=0,
-                                        centers_seed=0)
+                                        centers_seed=0, **gen_kwargs)
     test = clustered_modalities_device(n_test, dims=(768, 4096),
                                        n_clusters=256, seed=1,
                                        centers_seed=0)
@@ -54,13 +69,18 @@ def main():
     # Pay the eval programs' first-call costs (tracing + compile-cache
     # load) on a background thread while fit keeps the device busy.
     # Returns None (skipped) on CPU or under MMUMAP_PREWARM=0.
-    prewarm = start_eval_prewarm(
-        n_train=n_train, dims=(768, 4096), cfg=cfg, q_main=n_test,
-        q_recon=16, k_test=1,
-        data_arrays=[train[k] for k in train],
-    )
+    prewarm = None
+    if feature_dtype == "float32":
+        # bf16 runs skip the prewarm: the forged f32 state would warm
+        # programs keyed on dtypes the real eval never calls, and the
+        # beyond-HBM scales it serves have no room for a second table.
+        prewarm = start_eval_prewarm(
+            n_train=n_train, dims=(768, 4096), cfg=cfg, q_main=n_test,
+            q_recon=16, k_test=1,
+            data_arrays=[train[k] for k in train],
+        )
     model = MultimodalUMAP(cfg.k_neighbors, cfg.out_dim, cfg.min_dist,
-                           num_encoders=2)
+                           num_encoders=2, feature_dtype=feature_dtype)
     model.fit([train[k] for k in train], epochs=cfg.train_epochs,
               num_rep=cfg.num_rep, lr=cfg.lr, alpha=cfg.alpha,
               batch_size=cfg.batch_size)
