@@ -41,6 +41,75 @@ def _as_2d(x) -> jax.Array:
     return x[None, :] if x.ndim == 1 else x
 
 
+def _progress_callback(label: str, epochs: int, progress_path: str | None,
+                       verbose: bool):
+    """Chunk-boundary callback: live loss readout + optimizer-state
+    snapshot (embeddings/reconstructions + Adam moments + epoch) so a
+    preempted run loses at most one epoch chunk (SURVEY.md §5.3).
+    Shared by fit, transform, and inverse_transform."""
+    if progress_path is None and not verbose:
+        return None
+
+    def callback(done, params, opt_state, hist):
+        if verbose:
+            print(f"{label} {done}/{epochs}  "
+                  f"loss {float(hist[-1]):.4f}", flush=True)
+        if progress_path is not None:
+            leaves = jax.tree_util.tree_leaves(opt_state)
+            np.savez(
+                progress_path,
+                epoch=done,
+                **{f"embeds_{m}": np.asarray(p)
+                   for m, p in enumerate(params)},
+                **{f"opt_{i}": np.asarray(leaf)
+                   for i, leaf in enumerate(leaves)},
+            )
+
+    return callback
+
+
+def _load_progress(progress_path: str | None, resume: bool,
+                   num_modes: int, lr: float, plan):
+    """Restores a :func:`_progress_callback` snapshot.
+
+    Returns ``(start_epoch, params_or_None, opt_state_or_None)``; the
+    caller continues the remaining epochs with the exact per-epoch PRNG
+    stream the original run would have used (train_layout folds the
+    epoch index into the key). Missing snapshot => fresh start.
+    """
+    if not resume:
+        return 0, None, None
+    if progress_path is None:
+        raise ValueError("resume=True requires progress_path")
+    import os
+
+    if not os.path.exists(progress_path):
+        return 0, None, None
+    import optax
+
+    snap = np.load(progress_path)
+    start_epoch = int(snap["epoch"])
+    inits = [jnp.asarray(snap[f"embeds_{m}"]) for m in range(num_modes)]
+    if plan is not None:
+        # Re-apply the data-parallel row sharding: snapshot arrays are
+        # plain host arrays, and train_layout only pins params that
+        # already carry a NamedSharding. Adam moments shard like their
+        # params; the scalar step count replicates over the same mesh.
+        inits = [plan.rows(e) for e in inits]
+
+        def _place(x):
+            return plan.rows(x) if x.ndim == 2 else plan.replicated(x)
+    else:
+        def _place(x):
+            return x
+    template = optax.adam(lr).init(tuple(inits))
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    loaded = [
+        _place(jnp.asarray(snap[f"opt_{i}"])) for i in range(len(leaves))
+    ]
+    return start_epoch, inits, jax.tree_util.tree_unflatten(treedef, loaded)
+
+
 class MultimodalUMAP:
     """Shared-latent multimodal UMAP with InfoNCE alignment.
 
@@ -190,60 +259,12 @@ class MultimodalUMAP:
                 *(shard_task(plan, t, e) for t, e in zip(tasks, inits))
             )
 
-        callback = None
-        if progress_path is not None or verbose:
-            def callback(done, params, opt_state, hist):
-                if verbose:
-                    print(f"epoch {done}/{epochs}  "
-                          f"loss {float(hist[-1]):.4f}", flush=True)
-                if progress_path is not None:
-                    leaves = jax.tree_util.tree_leaves(opt_state)
-                    np.savez(
-                        progress_path,
-                        epoch=done,
-                        **{f"embeds_{m}": np.asarray(p)
-                           for m, p in enumerate(params)},
-                        **{f"opt_{i}": np.asarray(leaf)
-                           for i, leaf in enumerate(leaves)},
-                    )
-
-        start_epoch = 0
-        init_opt_state = None
-        if resume:
-            if progress_path is None:
-                raise ValueError("resume=True requires progress_path")
-            import os
-
-            if os.path.exists(progress_path):
-                import optax
-
-                snap = np.load(progress_path)
-                start_epoch = int(snap["epoch"])
-                inits = [
-                    jnp.asarray(snap[f"embeds_{m}"])
-                    for m in range(self.num_encoders)
-                ]
-                if plan is not None:
-                    # Re-apply the data-parallel row sharding: snapshot
-                    # arrays are plain host arrays, and train_layout only
-                    # pins params that already carry a NamedSharding.
-                    # Adam moments shard like their params; the scalar
-                    # step count replicates over the same mesh.
-                    inits = [plan.rows(e) for e in inits]
-
-                    def _place(x):
-                        return plan.rows(x) if x.ndim == 2 \
-                            else plan.replicated(x)
-                else:
-                    def _place(x):
-                        return x
-                template = optax.adam(lr).init(tuple(inits))
-                leaves, treedef = jax.tree_util.tree_flatten(template)
-                loaded = [
-                    _place(jnp.asarray(snap[f"opt_{i}"]))
-                    for i in range(len(leaves))
-                ]
-                init_opt_state = jax.tree_util.tree_unflatten(treedef, loaded)
+        callback = _progress_callback("epoch", epochs, progress_path,
+                                      verbose)
+        start_epoch, snap_inits, init_opt_state = _load_progress(
+            progress_path, resume, self.num_encoders, lr, plan)
+        if snap_inits is not None:
+            inits = snap_inits
 
         with self.timer.phase("fit/layout"):
             embeds, hist = train_layout(
@@ -288,6 +309,8 @@ class MultimodalUMAP:
         lr: float = 0.2,
         alpha: float = 0.5,
         batch_size: int = 512,
+        progress_path: str | None = None,
+        resume: bool = False,
         verbose: bool = False,
     ) -> list[jax.Array]:
         """Embeds new data into the learned latent space.
@@ -296,6 +319,11 @@ class MultimodalUMAP:
         training features; queries are initialized as affinity-weighted
         averages of train embeddings and optimized with the references
         frozen (reference impl/model.py:527-555).
+
+        ``progress_path``/``resume`` snapshot and restore the query
+        optimization exactly as in :meth:`fit` (the query graph rebuild
+        is deterministic, so a preempted eval loses at most one epoch
+        chunk instead of re-paying the whole phase).
         """
         self._require_fitted()
         indices = (
@@ -329,6 +357,15 @@ class MultimodalUMAP:
             inits.append(init)
             true_rows.append(n_q)
 
+        if progress_path is not None and not progress_path.endswith(".npz"):
+            progress_path = progress_path + ".npz"
+        callback = _progress_callback("transform epoch", epochs,
+                                      progress_path, verbose)
+        start_epoch, snap_inits, init_opt_state = _load_progress(
+            progress_path, resume, len(inits), lr, plan)
+        if snap_inits is not None:
+            inits = snap_inits
+
         embeds, hist = train_layout(
             inits,
             tasks,
@@ -342,8 +379,9 @@ class MultimodalUMAP:
             a=self.a,
             b=self.b,
             key=jax.random.PRNGKey(self.seed + 1),
-            chunk_callback=self._verbose_callback("transform", epochs,
-                                                  verbose),
+            chunk_callback=callback,
+            start_epoch=start_epoch,
+            init_opt_state=init_opt_state,
         )
         self.loss_history["transform"] = np.asarray(hist)
         return [e[:n] for e, n in zip(embeds, true_rows)]
@@ -357,6 +395,8 @@ class MultimodalUMAP:
         lr: float = 0.2,
         alpha: float = 0.5,
         batch_size: int = 512,
+        progress_path: str | None = None,
+        resume: bool = False,
         verbose: bool = False,
     ) -> list[jax.Array]:
         """Reconstructs original features from latent embeddings.
@@ -367,6 +407,9 @@ class MultimodalUMAP:
         affinity-weighted averages of training **data** rows and are
         optimized with the inverse attract/repel losses against the
         stored features.
+
+        ``progress_path``/``resume`` snapshot and restore the
+        reconstruction optimization exactly as in :meth:`fit`.
         """
         self._require_fitted()
         indices = (
@@ -409,6 +452,15 @@ class MultimodalUMAP:
             inits.append(init)
             true_rows.append(n_q)
 
+        if progress_path is not None and not progress_path.endswith(".npz"):
+            progress_path = progress_path + ".npz"
+        callback = _progress_callback("invert epoch", epochs,
+                                      progress_path, verbose)
+        start_epoch, snap_inits, init_opt_state = _load_progress(
+            progress_path, resume, len(inits), lr, plan)
+        if snap_inits is not None:
+            inits = snap_inits
+
         recons, hist = train_layout(
             inits,
             tasks,
@@ -422,23 +474,12 @@ class MultimodalUMAP:
             a=self.a,
             b=self.b,
             key=jax.random.PRNGKey(self.seed + 2),
-            chunk_callback=self._verbose_callback("invert", epochs, verbose),
+            chunk_callback=callback,
+            start_epoch=start_epoch,
+            init_opt_state=init_opt_state,
         )
         self.loss_history["invert"] = np.asarray(hist)
         return [e[:n] for e, n in zip(recons, true_rows)]
-
-    @staticmethod
-    def _verbose_callback(mode: str, epochs: int, verbose: bool):
-        """Live loss readout for transform/invert (the reference shows
-        tqdm loss in ALL modes, impl/model.py:405,478-479)."""
-        if not verbose:
-            return None
-
-        def callback(done, params, opt_state, hist):
-            print(f"{mode} epoch {done}/{epochs}  "
-                  f"loss {float(hist[-1]):.4f}", flush=True)
-
-        return callback
 
     # ------------------------------------------------------------------
     # Curve fit & persistence
