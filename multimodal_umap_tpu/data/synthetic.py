@@ -75,7 +75,12 @@ def clustered_modalities_device(
         else [f"mod{i}" for i in range(len(dims))]
     )
 
+    @jax.jit
     def draw(key_n, centers, lab_slice, z_slice, proj):
+        # Jitted so XLA fuses the gather + normal + scale + cast into
+        # one pass: eager execution materializes several full-chunk f32
+        # transients at once, which is exactly what the chunked path
+        # exists to avoid.
         x = centers[lab_slice] + jax.random.normal(
             key_n, (lab_slice.shape[0], centers.shape[1])) * noise_scale
         if proj is not None:

@@ -86,16 +86,54 @@ def directed_graph(nbrs: jax.Array, weights: jax.Array, num_cols: int) -> EdgeGr
     )
 
 
+# Row-block size for the reverse-edge lookup: the (rows, k, k) gather
+# transients are ~rows*k*k*(4+4+1) bytes, so 65536 rows at k=15 is
+# ~130 MB -- constant in N, where the unblocked form is ~2-3 GB at 1M.
+_REV_BLOCK = 65536
+
+
+def _reverse_edge_weights(nbrs: jax.Array, weights: jax.Array):
+    """Reverse-edge lookup: for edge (i, j=nbrs[i,m]), find w[j, l]
+    where nbrs[j, l] == i. Returns ((N, k) reverse weights, (N, k)
+    exists mask). k is small (~15); above ``_REV_BLOCK`` rows the
+    (rows, k, k) gathers run blockwise in a ``lax.scan`` so the
+    transient footprint is constant in N (the unblocked form OOMs the
+    fit-graph program at N=1M on one v5e)."""
+    n, k = nbrs.shape
+
+    def block(nbrs_r, w_full, row0):
+        nbrs_of_nbrs = nbrs[nbrs_r]  # (rows, k, k)
+        row_ids = (
+            row0 + jnp.arange(nbrs_r.shape[0], dtype=nbrs.dtype)
+        )[:, None, None]
+        match = nbrs_of_nbrs == row_ids
+        w_rev = jnp.sum(jnp.where(match, w_full[nbrs_r], 0.0), axis=2)
+        return w_rev, jnp.any(match, axis=2)
+
+    if n <= _REV_BLOCK:
+        return block(nbrs, weights, jnp.asarray(0, dtype=nbrs.dtype))
+
+    pad = -(-n // _REV_BLOCK) * _REV_BLOCK - n
+    nb = jnp.pad(nbrs, ((0, pad), (0, 0)))
+    starts = jnp.arange((n + pad) // _REV_BLOCK, dtype=nbrs.dtype)
+
+    def step(_, start0):
+        row0 = start0 * _REV_BLOCK
+        nbrs_r = jax.lax.dynamic_slice(
+            nb, (row0, 0), (_REV_BLOCK, k))
+        return None, block(nbrs_r, weights, row0)
+
+    _, (w_rev, exists_rev) = jax.lax.scan(step, None, starts)
+    return (
+        w_rev.reshape(-1, k)[:n],
+        exists_rev.reshape(-1, k)[:n],
+    )
+
+
 @jax.jit
 def _symmetrize_arrays(nbrs: jax.Array, weights: jax.Array):
     n, k = nbrs.shape
-    # Reverse-edge lookup: for edge (i, j=nbrs[i,m]), find w[j, l] where
-    # nbrs[j, l] == i. (N, k, k) gather -- k is small (~15).
-    nbrs_of_nbrs = nbrs[nbrs]  # (N, k, k)
-    row_ids = jnp.arange(n, dtype=nbrs.dtype)[:, None, None]
-    match = nbrs_of_nbrs == row_ids  # (N, k, k)
-    w_rev = jnp.sum(jnp.where(match, weights[nbrs], 0.0), axis=2)  # (N, k)
-    exists_rev = jnp.any(match, axis=2)  # (N, k)
+    w_rev, exists_rev = _reverse_edge_weights(nbrs, weights)
 
     # Fuzzy union t-conorm, symmetric per unordered pair.
     sym_w = weights + w_rev - weights * w_rev
@@ -168,12 +206,7 @@ class DenseSymGraph:
 
 @jax.jit
 def _symmetrize_dense_arrays(nbrs: jax.Array, weights: jax.Array):
-    n = nbrs.shape[0]
-    nbrs_of_nbrs = nbrs[nbrs]
-    row_ids = jnp.arange(n, dtype=nbrs.dtype)[:, None, None]
-    match = nbrs_of_nbrs == row_ids
-    w_rev = jnp.sum(jnp.where(match, weights[nbrs], 0.0), axis=2)
-    exists_rev = jnp.any(match, axis=2)
+    w_rev, exists_rev = _reverse_edge_weights(nbrs, weights)
     sym_w = (weights + w_rev - weights * w_rev).astype(jnp.float32)
     return sym_w, ~exists_rev
 

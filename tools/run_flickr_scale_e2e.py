@@ -54,7 +54,7 @@ def main():
     if feature_dtype == "bfloat16":
         # Chunked bf16 generation: the f32 draw transient stays at
         # row_chunk x 4096 instead of n_train x 4096.
-        gen_kwargs = {"dtype": jnp.bfloat16, "row_chunk": 131072}
+        gen_kwargs = {"dtype": jnp.bfloat16, "row_chunk": 65536}
 
     cfg = Config()  # canonical reference CLI defaults
     train = clustered_modalities_device(n_train, dims=(768, 4096),
