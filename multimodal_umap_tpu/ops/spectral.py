@@ -35,11 +35,47 @@ def _degrees(graph: EdgeGraph) -> jax.Array:
     return jnp.maximum(deg, 1e-6)
 
 
+# Edge-block size for the Laplacian matvec: the (E, B) gather transient
+# is E*B*4 bytes -- at N=1M, k=15, B=73 the unblocked form needs ~9 GB,
+# OOMing the filter program; 4M-edge blocks cap it at ~1.2 GB.
+_EDGE_BLOCK = 4 * 1024 * 1024
+
+
+def _adjacency_apply(graph: EdgeGraph, y: jax.Array) -> jax.Array:
+    """A @ y via segment-sum over the edge list; blocked over edges
+    above ``_EDGE_BLOCK`` so the (edges, B) gather transient stays
+    constant in N."""
+    w = jnp.where(graph.valid, graph.weights, 0.0)
+    num_e = graph.rows.shape[0]
+    if num_e <= _EDGE_BLOCK:
+        scaled = y[graph.cols] * w[:, None]
+        return jax.ops.segment_sum(scaled, graph.rows,
+                                   num_segments=graph.num_rows)
+
+    pad = -(-num_e // _EDGE_BLOCK) * _EDGE_BLOCK - num_e
+    # Padded edges carry weight 0 into row 0: exact no-ops.
+    rows = jnp.pad(graph.rows, (0, pad))
+    cols = jnp.pad(graph.cols, (0, pad))
+    wp = jnp.pad(w, (0, pad))
+    starts = jnp.arange((num_e + pad) // _EDGE_BLOCK, dtype=jnp.int32)
+
+    def step(acc, i):
+        e0 = i * _EDGE_BLOCK
+        cols_b = jax.lax.dynamic_slice(cols, (e0,), (_EDGE_BLOCK,))
+        rows_b = jax.lax.dynamic_slice(rows, (e0,), (_EDGE_BLOCK,))
+        w_b = jax.lax.dynamic_slice(wp, (e0,), (_EDGE_BLOCK,))
+        scaled = y[cols_b] * w_b[:, None]
+        return acc + jax.ops.segment_sum(
+            scaled, rows_b, num_segments=graph.num_rows), None
+
+    acc, _ = jax.lax.scan(
+        step, jnp.zeros_like(y), starts)
+    return acc
+
+
 def _laplacian_matvec(graph: EdgeGraph, d_inv_sqrt: jax.Array, x: jax.Array):
     """(c*I - L) @ x for x of shape (N, B); L = I - D^-1/2 A D^-1/2 + eps*I."""
-    w = jnp.where(graph.valid, graph.weights, 0.0)
-    scaled = (d_inv_sqrt[:, None] * x)[graph.cols] * w[:, None]
-    ax = jax.ops.segment_sum(scaled, graph.rows, num_segments=graph.num_rows)
+    ax = _adjacency_apply(graph, d_inv_sqrt[:, None] * x)
     lx = (1.0 + _EPS_SHIFT) * x - d_inv_sqrt[:, None] * ax
     return _LOBPCG_SHIFT * x - lx
 

@@ -82,3 +82,30 @@ def test_chebyshev_small_n_falls_back_to_dense(rng):
     graph = _graph(rng, n=50, k=5)
     out = spectral_embedding(graph, 16, method="chebyshev")
     assert out.shape == (50, 16)
+
+
+def test_blocked_adjacency_apply_matches_direct(rng):
+    """The edge-blocked Laplacian matvec (used above _EDGE_BLOCK edges
+    so the (E, B) gather transient stays constant in N) must match the
+    direct segment-sum form."""
+    import jax.numpy as jnp
+
+    from multimodal_umap_tpu.ops import spectral as S
+    from multimodal_umap_tpu.ops.graph import fuzzy_weights, symmetrize
+    from multimodal_umap_tpu.ops.knn import knn
+
+    x = rng.normal(size=(300, 12)).astype(np.float32)
+    d, i = knn(jnp.asarray(x), jnp.asarray(x), 6, exclude_self=True)
+    w, _, _ = fuzzy_weights(d)
+    graph = symmetrize(i, w)
+    y = jnp.asarray(rng.normal(size=(300, 9)).astype(np.float32))
+
+    direct = S._adjacency_apply(graph, y)
+    old = S._EDGE_BLOCK
+    S._EDGE_BLOCK = 512  # force the scan path with a padded tail
+    try:
+        blocked = S._adjacency_apply(graph, y)
+    finally:
+        S._EDGE_BLOCK = old
+    np.testing.assert_allclose(np.asarray(direct), np.asarray(blocked),
+                               rtol=1e-5, atol=1e-5)
