@@ -174,6 +174,11 @@ def _inv_window_coef(
     return jnp.repeat(inv, batch_size)[:n]
 
 
+# Above this many bytes for the (N, k, D) attraction gather, the fit
+# loss scans neighbor slots with remat instead (memory: O(N*D)).
+_ATTR_SLOT_BYTES = 1 << 30
+
+
 def _fit_modality_loss(
     embed: jax.Array,
     task: LayoutTask,
@@ -220,9 +225,28 @@ def _fit_modality_loss(
     # than every precomputed-transpose substitute tried, including a
     # cap-2k padded map + hub-overflow scatter (71 vs 36 ms/epoch bare
     # attraction at 31k; random row gathers cost like the scatter).
-    y = embed[task.nbrs]  # (N, k, D)
-    attr = L.umap_attr(embed[:, None, :], y, a, b)  # (N, k)
-    loss_attr = jnp.sum(coef * attr)
+    # Past _ATTR_SLOT_BYTES the (N, k, D) gather + its autodiff
+    # residuals no longer fit HBM next to the feature tables (at
+    # N=1M/k=15/D=64 they are ~8 GB in a 16 GB chip already holding
+    # 10 GB of bf16 features), so the attraction scans the k neighbor
+    # slots with rematerialization: per-slot transients are (N, D) and
+    # total traffic is unchanged.
+    if n * k * embed.shape[1] * 4 > _ATTR_SLOT_BYTES:
+        def slot(acc, xs):
+            nbrs_m, coef_m = xs  # (N,), (N,)
+            y_m = embed[nbrs_m]  # (N, D)
+            return acc + jnp.sum(
+                coef_m * L.umap_attr(embed, y_m, a, b)), None
+
+        loss_attr, _ = jax.lax.scan(
+            jax.checkpoint(slot),
+            jnp.float32(0.0),
+            (task.nbrs.T, coef.T),
+        )
+    else:
+        y = embed[task.nbrs]  # (N, k, D)
+        attr = L.umap_attr(embed[:, None, :], y, a, b)  # (N, k)
+        loss_attr = jnp.sum(coef * attr)
 
     if num_rep == 0:
         return loss_attr

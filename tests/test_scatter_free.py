@@ -76,3 +76,40 @@ def test_dense_fit_loss_matches_naive_edge_list(rng):
     np.testing.assert_allclose(float(v_dense), float(v_naive), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(g_dense), np.asarray(g_naive),
                                rtol=2e-4, atol=1e-6)
+
+
+def test_slot_scan_attraction_matches_dense(rng):
+    """The remat slot-scan attraction (used past _ATTR_SLOT_BYTES so
+    the (N, k, D) gather never materializes next to beyond-HBM feature
+    tables) must give the same loss and gradients as the dense form."""
+    from multimodal_umap_tpu.models import layout as LY
+    from multimodal_umap_tpu.models.layout import fit_task, make_loss_fn
+    from multimodal_umap_tpu.ops.graph import fuzzy_weights, symmetrize_dense
+    from multimodal_umap_tpu.ops.knn import knn
+
+    x = jnp.asarray(rng.normal(size=(150, 10)).astype(np.float32))
+    d, nbrs = knn(x, x, 6, exclude_self=True)
+    w, _, _ = fuzzy_weights(d)
+    task, static = fit_task(symmetrize_dense(nbrs, w), batch_size=50)
+    embed = jnp.asarray(rng.normal(size=(150, 5)).astype(np.float32))
+    ab = (jnp.float32(1.577), jnp.float32(0.8951))
+    key = jax.random.PRNGKey(7)
+
+    def run():
+        loss_fn = make_loss_fn([static], mode="fit", num_rep=3,
+                               alpha=0.5, batch_size=50)
+        return jax.value_and_grad(loss_fn)(
+            (embed,), (task,), ab, key)
+
+    dense_loss, dense_grad = run()
+    old = LY._ATTR_SLOT_BYTES
+    LY._ATTR_SLOT_BYTES = 0  # force the slot-scan path
+    try:
+        slot_loss, slot_grad = run()
+    finally:
+        LY._ATTR_SLOT_BYTES = old
+    np.testing.assert_allclose(float(slot_loss), float(dense_loss),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(slot_grad[0]),
+                               np.asarray(dense_grad[0]),
+                               rtol=1e-5, atol=1e-6)
