@@ -390,19 +390,29 @@ def make_loss_fn(
                 )
         if mode == "fit" and num_modes > 1 and alpha != 0.0:
             # Symmetric InfoNCE added to both modality buckets => 2*alpha
-            # effective weight (SURVEY.md §2.10c).
+            # effective weight (SURVEY.md §2.10c). Past _ATTR_SLOT_BYTES
+            # worth of anchors the term runs under jax.checkpoint: its
+            # ~9 rolled (N, D) similarity intermediates are recomputed
+            # in the backward instead of stored, the other lever (with
+            # the slot-scan attraction) that keeps the 1M-point epoch
+            # inside one chip's HBM next to the bf16 feature tables.
+            infonce_fn = functools.partial(
+                L.infonce, n_neg=n_neg_infonce,
+                temperature=infonce_temperature,
+            )
+            big = any(
+                p.shape[0] * p.shape[1] * (n_neg_infonce + 1) * 4
+                > _ATTR_SLOT_BYTES
+                for p in params
+            )
+            if big:
+                infonce_fn = jax.checkpoint(infonce_fn)
             pair_key = keys[-1]
             for i in range(num_modes):
                 for j in range(i + 1, num_modes):
                     pair_key, k_ij, k_ji = jax.random.split(pair_key, 3)
-                    l_ij = L.infonce(
-                        k_ij, params[i], params[j],
-                        n_neg=n_neg_infonce, temperature=infonce_temperature,
-                    )
-                    l_ji = L.infonce(
-                        k_ji, params[j], params[i],
-                        n_neg=n_neg_infonce, temperature=infonce_temperature,
-                    )
+                    l_ij = infonce_fn(k_ij, params[i], params[j])
+                    l_ji = infonce_fn(k_ji, params[j], params[i])
                     total = total + alpha * (l_ij + l_ji)
         return total
 

@@ -28,6 +28,11 @@ from .encoder import ModalityEncoder
 from .layout import fit_task, query_task, train_layout
 
 
+# Edge count past which fitted EdgeGraphs are parked in host memory
+# during the layout phase (see fit); 2Nk at N=524288, k=15.
+_GRAPH_OFFLOAD_EDGES = 2 * 524288 * 15
+
+
 def _as_f32(x) -> jax.Array:
     # jax arrays stay on device (this host has a single slow vCPU --
     # never round-trip through numpy).
@@ -246,6 +251,15 @@ class MultimodalUMAP:
         for i, (enc, feats) in enumerate(zip(self.encoders, self.data)):
             with self.timer.phase(f"fit/graph_{i}"):
                 graph, dense, init = enc.fit_graph(feats, mesh=self.mesh)
+            if plan is None and graph.rows.shape[0] >= _GRAPH_OFFLOAD_EDGES:
+                # Beyond-HBM scales: the 2Nk edge list (~400 MB/modality
+                # at 1M) is dead weight during the layout phase -- it is
+                # next consumed by save_state_dict, which reads it back
+                # to host anyway. Park it in host memory so the epoch
+                # program keeps the HBM. (Mesh runs keep it sharded on
+                # device: per-shard cost is already 1/P.)
+                graph = jax.tree_util.tree_map(
+                    lambda x: np.asarray(x), graph)
             graphs.append(graph)
             denses.append(dense)
             inits.append(init)
