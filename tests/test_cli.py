@@ -8,10 +8,24 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_cli_synthetic_end_to_end(tmp_path):
+def _cpu_env() -> dict:
+    """Subprocess env that can NEVER touch the TPU tunnel.
+
+    JAX_PLATFORMS=cpu alone is not enough: the ambient PYTHONPATH may
+    carry a sitecustomize that pre-registers the axon PJRT plugin at
+    interpreter start, and when the tunnel is unhealthy that
+    registration blocks indefinitely -- the CLI subprocess then dies on
+    the pytest timeout with no output. Strip every non-repo PYTHONPATH
+    entry so the subprocess sees only the package under test.
+    """
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = REPO
+    return env
+
+
+def test_cli_synthetic_end_to_end(tmp_path):
+    env = _cpu_env()
     save_path = os.path.join(tmp_path, "models", "run.npz")
     log_dir = os.path.join(tmp_path, "logs")
     out = subprocess.run(
@@ -45,9 +59,7 @@ def test_cli_synthetic_end_to_end(tmp_path):
 
 
 def test_cli_load_pretrained_roundtrip(tmp_path):
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env = _cpu_env()
     save_path = os.path.join(tmp_path, "models", "run.npz")
     base_args = [
         sys.executable, os.path.join(REPO, "main.py"),
