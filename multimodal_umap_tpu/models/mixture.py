@@ -196,6 +196,7 @@ class MultimodalUMAP:
         progress_path: str | None = None,
         resume: bool = False,
         verbose: bool = False,
+        graph_cache_path: str | None = None,
     ) -> None:
         """Fits the shared latent space to multimodal training data.
 
@@ -217,6 +218,14 @@ class MultimodalUMAP:
                 covers only the resumed epochs.
             verbose: print the loss at every epoch-chunk boundary (the
                 reference's tqdm loss readout, SURVEY.md §5.5).
+            graph_cache_path: if set (single-device runs only), the
+                graph stage's outputs (edge lists, dense graphs,
+                spectral inits, sigma/rho) are snapshotted there after
+                building, and a rerun loads them instead of re-paying
+                the kNN sweep + spectral filter -- the longest, most
+                crash-exposed dispatches at beyond-flickr scale. The
+                snapshot is keyed on (k, out_dim, feature fingerprint);
+                a mismatch rebuilds and overwrites.
         """
         # Storage cast (HBM halving; see __init__) goes DIRECT to the
         # target dtype: routing an already-bf16 1M x 4096 table through
@@ -247,22 +256,47 @@ class MultimodalUMAP:
             # data-parallel with replicated column blocks.
             self.data = [plan.rows(x) for x in self.data]
 
-        graphs, denses, inits = [], [], []
-        for i, (enc, feats) in enumerate(zip(self.encoders, self.data)):
-            with self.timer.phase(f"fit/graph_{i}"):
-                graph, dense, init = enc.fit_graph(feats, mesh=self.mesh)
-            if plan is None and graph.rows.shape[0] >= _GRAPH_OFFLOAD_EDGES:
-                # Beyond-HBM scales: the 2Nk edge list (~400 MB/modality
-                # at 1M) is dead weight during the layout phase -- it is
-                # next consumed by save_state_dict, which reads it back
-                # to host anyway. Park it in host memory so the epoch
-                # program keeps the HBM. (Mesh runs keep it sharded on
-                # device: per-shard cost is already 1/P.)
-                graph = jax.tree_util.tree_map(
-                    lambda x: np.asarray(x), graph)
-            graphs.append(graph)
-            denses.append(dense)
-            inits.append(init)
+        cached = None
+        fingerprints = None
+        if graph_cache_path is not None and plan is None:
+            fingerprints = [ckpt.feature_fingerprint(x) for x in self.data]
+            cached = ckpt.load_graph_cache(
+                graph_cache_path, k_neighbors=self.k_neighbors,
+                out_dim=self.out_dim, fingerprints=fingerprints)
+        if cached is not None:
+            graphs, denses, inits = (cached["graphs"], cached["denses"],
+                                     cached["inits"])
+            for enc, s, r in zip(self.encoders, cached["sigmas"],
+                                 cached["rhos"]):
+                enc.sigmas, enc.rhos = s, r
+        else:
+            graphs, denses, inits = [], [], []
+            for i, (enc, feats) in enumerate(zip(self.encoders, self.data)):
+                with self.timer.phase(f"fit/graph_{i}"):
+                    graph, dense, init = enc.fit_graph(feats, mesh=self.mesh)
+                if (plan is None
+                        and graph.rows.shape[0] >= _GRAPH_OFFLOAD_EDGES):
+                    # Beyond-HBM scales: the 2Nk edge list (~400 MB/
+                    # modality at 1M) is dead weight during the layout
+                    # phase -- it is next consumed by save_state_dict,
+                    # which reads it back to host anyway. Park it in
+                    # host memory so the epoch program keeps the HBM.
+                    # (Mesh runs keep it sharded on device: per-shard
+                    # cost is already 1/P.)
+                    graph = jax.tree_util.tree_map(
+                        lambda x: np.asarray(x), graph)
+                graphs.append(graph)
+                denses.append(dense)
+                inits.append(init)
+            if fingerprints is not None:
+                with self.timer.phase("fit/graph_cache_save"):
+                    ckpt.save_graph_cache(
+                        graph_cache_path, k_neighbors=self.k_neighbors,
+                        out_dim=self.out_dim, graphs=graphs,
+                        denses=denses, inits=inits,
+                        sigmas=[e.sigmas for e in self.encoders],
+                        rhos=[e.rhos for e in self.encoders],
+                        fingerprints=fingerprints)
         self.graphs = graphs
 
         tasks, statics = zip(

@@ -80,6 +80,111 @@ def save_state(path: str, state: dict, compress: bool = False) -> None:
         f.write(buf.getvalue())
 
 
+def feature_fingerprint(feats) -> int:
+    """Cheap content guard for the graph cache: CRC of row 0's bytes
+    plus the table shape. Detects a cache written for different
+    features without hashing the (N, D) table."""
+    import zlib
+
+    row = np.ascontiguousarray(np.asarray(feats[0]))
+    crc = zlib.crc32(row.tobytes())
+    shape = ",".join(str(s) for s in np.shape(feats))
+    return zlib.crc32(shape.encode(), crc)
+
+
+def save_graph_cache(path: str, *, k_neighbors: int, out_dim: int,
+                     graphs, denses, inits, sigmas, rhos,
+                     fingerprints) -> None:
+    """Phase-level snapshot of fit's graph stage (kNN sweep + fuzzy
+    weights + symmetrization + spectral init).
+
+    At beyond-flickr scale the graph stage is minutes of device time and
+    the most crash-exposed phase of a run (the kNN sweep and spectral
+    filter are the longest dispatches in the pipeline); ``fit`` resumed
+    via ``progress_path`` rebuilds it deterministically but re-pays the
+    full cost. With ``graph_cache_path`` the rebuilt run loads this
+    snapshot and jumps straight to the layout phase. The reference has
+    no counterpart (its only resumability is the feature cache,
+    reference impl/dataset.py:24-25); this extends SURVEY.md §5.3 to the
+    graph phase.
+    """
+    m = len(graphs)
+    meta = {
+        "schema": _SCHEMA_VERSION,
+        "kind": "graph_cache",
+        "k_neighbors": int(k_neighbors),
+        "out_dim": int(out_dim),
+        "num_encoders": m,
+        "graph_shapes": [[g.num_rows, g.num_cols] for g in graphs],
+        "fingerprints": [int(f) for f in fingerprints],
+    }
+    arrays: dict[str, np.ndarray] = {}
+    for i in range(m):
+        g = graphs[i]
+        arrays[f"graph_{i}_rows"] = np.asarray(g.rows)
+        arrays[f"graph_{i}_cols"] = np.asarray(g.cols)
+        arrays[f"graph_{i}_weights"] = np.asarray(g.weights)
+        arrays[f"graph_{i}_valid"] = np.asarray(g.valid)
+        d = denses[i]
+        arrays[f"dense_{i}_nbrs"] = np.asarray(d.nbrs)
+        arrays[f"dense_{i}_weights"] = np.asarray(d.weights)
+        arrays[f"dense_{i}_bwd_valid"] = np.asarray(d.bwd_valid)
+        arrays[f"init_{i}"] = np.asarray(inits[i])
+        arrays[f"sigmas_{i}"] = np.asarray(sigmas[i])
+        arrays[f"rhos_{i}"] = np.asarray(rhos[i])
+    dirname = os.path.dirname(path)
+    if dirname:
+        os.makedirs(dirname, exist_ok=True)
+    tmp = path + ".tmp"
+    buf = io.BytesIO()
+    np.savez(buf, meta=json.dumps(meta), **arrays)
+    with open(tmp, "wb") as f:
+        f.write(buf.getvalue())
+    os.replace(tmp, path)
+
+
+def load_graph_cache(path: str, *, k_neighbors: int, out_dim: int,
+                     fingerprints) -> dict | None:
+    """Loads a :func:`save_graph_cache` snapshot, or None when the file
+    is absent or was written for different data/hyperparameters (the
+    caller then rebuilds and overwrites). Edge lists stay host-side
+    numpy (fit offloads them at this scale anyway); dense graphs and
+    inits are returned as device arrays."""
+    from ..ops.graph import DenseSymGraph
+
+    if not os.path.exists(path):
+        return None
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(str(z["meta"]))
+        if (meta.get("kind") != "graph_cache"
+                or meta["k_neighbors"] != int(k_neighbors)
+                or meta["out_dim"] != int(out_dim)
+                or meta["fingerprints"] != [int(f) for f in fingerprints]):
+            return None
+        m = meta["num_encoders"]
+        out = {"graphs": [], "denses": [], "inits": [],
+               "sigmas": [], "rhos": []}
+        for i in range(m):
+            num_rows, num_cols = meta["graph_shapes"][i]
+            out["graphs"].append(EdgeGraph(
+                rows=z[f"graph_{i}_rows"],
+                cols=z[f"graph_{i}_cols"],
+                weights=z[f"graph_{i}_weights"],
+                valid=z[f"graph_{i}_valid"],
+                num_rows=int(num_rows), num_cols=int(num_cols),
+            ))
+            out["denses"].append(DenseSymGraph(
+                nbrs=jnp.asarray(z[f"dense_{i}_nbrs"]),
+                weights=jnp.asarray(z[f"dense_{i}_weights"]),
+                bwd_valid=jnp.asarray(z[f"dense_{i}_bwd_valid"]),
+                num_rows=int(num_rows),
+            ))
+            out["inits"].append(jnp.asarray(z[f"init_{i}"]))
+            out["sigmas"].append(jnp.asarray(z[f"sigmas_{i}"]))
+            out["rhos"].append(jnp.asarray(z[f"rhos_{i}"]))
+    return out
+
+
 def load_state(path: str) -> dict:
     """Loads a state dict saved by :func:`save_state`."""
     with np.load(path, allow_pickle=False) as z:

@@ -127,3 +127,62 @@ def test_transform_and_invert_resume_match_uninterrupted(blobs, tmp_path):
     np.testing.assert_allclose(np.asarray(inv_resumed[0]),
                                np.asarray(inv_full[0]),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_graph_cache_roundtrip_matches_fresh(blobs, tmp_path):
+    """fit(graph_cache_path=...) must write a snapshot of the graph
+    stage on the first run and reproduce the no-cache fit exactly when
+    a rerun loads it (same graphs, sigma/rho, spectral init => same
+    layout PRNG stream => identical embeddings)."""
+    x0, x1, _ = blobs
+    kwargs = dict(num_rep=2, lr=0.05, alpha=0.5, batch_size=64)
+    cache = os.path.join(tmp_path, "graphs.npz")
+
+    fresh = MultimodalUMAP(8, 4, 0.1, num_encoders=2, seed=5)
+    fresh.fit([x0, x1], epochs=20, **kwargs)
+
+    first = MultimodalUMAP(8, 4, 0.1, num_encoders=2, seed=5)
+    first.fit([x0, x1], epochs=20, graph_cache_path=cache, **kwargs)
+    assert os.path.exists(cache)
+
+    second = MultimodalUMAP(8, 4, 0.1, num_encoders=2, seed=5)
+    second.fit([x0, x1], epochs=20, graph_cache_path=cache, **kwargs)
+    # The cached rerun skipped the graph phase entirely.
+    assert "fit/graph_0" not in second.timer.report()
+
+    for m in range(2):
+        np.testing.assert_allclose(
+            np.asarray(second.embeds[m]), np.asarray(fresh.embeds[m]),
+            rtol=2e-4, atol=2e-5)
+        np.testing.assert_array_equal(
+            np.asarray(second.graphs[m].rows),
+            np.asarray(first.graphs[m].rows))
+        np.testing.assert_allclose(
+            np.asarray(second.encoders[m].sigmas),
+            np.asarray(first.encoders[m].sigmas), rtol=1e-6)
+
+
+def test_graph_cache_rejects_mismatched_data(blobs, tmp_path):
+    """A cache written for other features/hyperparameters must be
+    ignored (rebuilt + overwritten), never silently loaded."""
+    x0, x1, _ = blobs
+    kwargs = dict(num_rep=2, lr=0.05, alpha=0.5, batch_size=64)
+    cache = os.path.join(tmp_path, "graphs.npz")
+
+    a = MultimodalUMAP(8, 4, 0.1, num_encoders=2, seed=5)
+    a.fit([x0, x1], epochs=5, graph_cache_path=cache, **kwargs)
+
+    # Different features: row 0 perturbed => fingerprint mismatch.
+    y0 = np.array(x0).copy()
+    y0[0] += 1.0
+    b = MultimodalUMAP(8, 4, 0.1, num_encoders=2, seed=5)
+    b.fit([y0, x1], epochs=5, graph_cache_path=cache, **kwargs)
+    assert "fit/graph_0" in b.timer.report()  # rebuilt, not loaded
+
+    # And the overwritten cache now serves the new data.
+    c = MultimodalUMAP(8, 4, 0.1, num_encoders=2, seed=5)
+    c.fit([y0, x1], epochs=5, graph_cache_path=cache, **kwargs)
+    assert "fit/graph_0" not in c.timer.report()
+    np.testing.assert_allclose(
+        np.asarray(c.embeds[0]), np.asarray(b.embeds[0]),
+        rtol=2e-4, atol=2e-5)

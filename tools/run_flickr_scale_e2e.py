@@ -6,12 +6,19 @@ canonical CLI hyperparameters: k=15, out_dim=64, 600 train epochs,
 120 test epochs, lr=0.01, alpha=1.0, batch=256).
 
 Usage: python -u tools/run_flickr_scale_e2e.py [n_train] [n_test] [dtype]
+                                               [resume_dir]
 
 ``dtype`` = ``bfloat16`` stores the feature tables bf16 (halving their
 HBM) and generates them in row chunks -- required at N=1M, where the
 f32 image table alone (16.8 GB) exceeds one v5e's HBM. The kNN engine
 then ranks bf16 and re-scores exactly w.r.t. the stored values
 (models/mixture.py ``feature_dtype``).
+
+``resume_dir``: crash resilience for multi-hour attempts on the flaky
+tunnel -- fit uses ``graph_cache_path`` (skip the kNN sweep + spectral
+filter on retry) and ``progress_path``/``resume`` (continue the layout
+from the last epoch chunk) rooted in this directory. Timings printed on
+a resumed run cover only the remaining work.
 """
 
 import sys
@@ -47,6 +54,18 @@ def main():
     n_train = int(sys.argv[1]) if len(sys.argv) > 1 else 31744
     n_test = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     feature_dtype = sys.argv[3] if len(sys.argv) > 3 else "float32"
+    resume_dir = sys.argv[4] if len(sys.argv) > 4 else None
+    fit_kwargs = {}
+    if resume_dir:
+        import os
+
+        os.makedirs(resume_dir, exist_ok=True)
+        fit_kwargs = {
+            "graph_cache_path": os.path.join(resume_dir, "graphs.npz"),
+            "progress_path": os.path.join(resume_dir, "layout.npz"),
+            "resume": True,
+            "verbose": True,
+        }
 
     import jax.numpy as jnp
 
@@ -83,7 +102,7 @@ def main():
                            num_encoders=2, feature_dtype=feature_dtype)
     model.fit([train[k] for k in train], epochs=cfg.train_epochs,
               num_rep=cfg.num_rep, lr=cfg.lr, alpha=cfg.alpha,
-              batch_size=cfg.batch_size)
+              batch_size=cfg.batch_size, **fit_kwargs)
     sync(model.embeds)
     t_fit = time.perf_counter() - t0
     print(f"fit: {t_fit:.1f}s  phases: "
