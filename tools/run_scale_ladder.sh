@@ -1,0 +1,31 @@
+#!/bin/bash
+# Beyond-flickr scale ladder on the one real chip: 31k sanity check,
+# then 524k and 1M full pipelines (bf16 feature storage past the f32
+# HBM ceiling), each with crash-resume state under /tmp/mmumap_ladder.
+# ONE TPU process at a time (axon); run this script alone.
+#
+# Usage: bash tools/run_scale_ladder.sh [start_rung]
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p /tmp/mmumap_ladder
+START="${1:-31744}"
+
+run() {
+  local n="$1" dtype="$2" timeout_s="$3"
+  local log="/tmp/mmumap_ladder/e2e_${n}.log"
+  echo "=== N=$n dtype=$dtype $(date +%H:%M:%S) -> $log"
+  timeout "$timeout_s" python -u tools/run_flickr_scale_e2e.py \
+    "$n" 1024 "$dtype" "/tmp/mmumap_ladder/resume_${n}" 2>&1 | tee "$log"
+  local rc=${PIPESTATUS[0]}
+  echo "=== N=$n exit=$rc $(date +%H:%M:%S)"
+  # Tunnel sessions need a beat to reap before the next process.
+  sleep 180
+  return 0
+}
+
+case "$START" in
+  31744)   run 31744   float32  1800 ;&
+  524288)  run 524288  bfloat16 3600 ;&
+  1048576) run 1048576 bfloat16 5400 ;;
+  *) echo "unknown rung $START"; exit 1 ;;
+esac
