@@ -55,6 +55,7 @@ tests to compare this engine against a naive autodiff implementation.
 from __future__ import annotations
 
 import functools
+import os
 import typing
 
 import jax
@@ -469,6 +470,23 @@ def _chunk_runner(
     return optimizer, run_chunk
 
 
+def default_epoch_chunk(num_rows: int) -> int:
+    """N-adaptive scan length for the epoch chunks.
+
+    One chunk is ONE device dispatch, and the tunneled worker dies
+    under multi-minute single dispatches (the same duration limit that
+    host-chunks the kNN sweep, ops/knn_stream.py). Measured epoch cost
+    is ~1.6e-6 s/row on v5e (49.7 ms at 31k, 0.42 s at 262k,
+    BASELINE.md), so the chunk targets <= ~25 s of device time per
+    dispatch: floor 4, cap 100 (the cap keeps small-N runs on at most
+    two compiled programs). ``MMUMAP_EPOCH_CHUNK`` overrides.
+    """
+    env = os.environ.get("MMUMAP_EPOCH_CHUNK")
+    if env:
+        return max(1, int(env))
+    return max(4, min(100, int(1.6e7 / max(num_rows, 1))))
+
+
 def train_layout(
     init_embeds: typing.Sequence[jax.Array],
     tasks: typing.Sequence[LayoutTask],
@@ -483,15 +501,16 @@ def train_layout(
     a: float,
     b: float,
     key: jax.Array,
-    epoch_chunk: int = 100,
+    epoch_chunk: int | None = None,
     chunk_callback=None,
     start_epoch: int = 0,
     init_opt_state=None,
 ) -> tuple[list[jax.Array], jax.Array]:
     """Runs the full-batch Adam layout optimization.
 
-    Epochs are scanned in fixed ``epoch_chunk`` chunks inside one jit:
-    any epoch count reuses at most two compiled programs (chunk +
+    Epochs are scanned in fixed ``epoch_chunk`` chunks inside one jit
+    (default: :func:`default_epoch_chunk` of the widest modality): any
+    epoch count reuses at most two compiled programs (chunk +
     remainder) instead of one per scan length, and chunk boundaries are
     host sync points -- ``chunk_callback(epoch_idx, params, opt_state,
     losses)`` fires there for periodic checkpointing / loss streaming
@@ -506,6 +525,9 @@ def train_layout(
     """
     if mode not in ("fit", "transform", "invert"):
         raise ValueError(f"invalid mode: {mode}")
+    if epoch_chunk is None:
+        epoch_chunk = default_epoch_chunk(
+            max(e.shape[0] for e in init_embeds))
 
     # Explicit copies: the chunk loop donates param buffers, and the
     # caller's init arrays must survive (donation would delete them).

@@ -50,16 +50,33 @@ def _progress_callback(label: str, epochs: int, progress_path: str | None,
                        verbose: bool):
     """Chunk-boundary callback: live loss readout + optimizer-state
     snapshot (embeddings/reconstructions + Adam moments + epoch) so a
-    preempted run loses at most one epoch chunk (SURVEY.md §5.3).
-    Shared by fit, transform, and inverse_transform."""
+    preempted run loses at most one snapshot interval (SURVEY.md §5.3).
+    Shared by fit, transform, and inverse_transform.
+
+    Snapshots are throttled to one per ``MMUMAP_SNAPSHOT_INTERVAL_S``
+    (default 120 s; the final chunk always saves): at N=1M a snapshot
+    serializes ~1.5 GB of embeddings + Adam moments through this host's
+    single slow vCPU, and the N-adaptive epoch chunks
+    (models/layout.py:default_epoch_chunk) make boundaries frequent
+    exactly at the scales where snapshots are most expensive.
+    """
     if progress_path is None and not verbose:
         return None
+    import os
+    import time as _time
+
+    interval = float(os.environ.get("MMUMAP_SNAPSHOT_INTERVAL_S", 120.0))
+    last_save = [float("-inf")]
 
     def callback(done, params, opt_state, hist):
         if verbose:
             print(f"{label} {done}/{epochs}  "
                   f"loss {float(hist[-1]):.4f}", flush=True)
         if progress_path is not None:
+            now = _time.monotonic()
+            if done < epochs and now - last_save[0] < interval:
+                return
+            last_save[0] = now
             leaves = jax.tree_util.tree_leaves(opt_state)
             np.savez(
                 progress_path,

@@ -186,3 +186,40 @@ def test_graph_cache_rejects_mismatched_data(blobs, tmp_path):
     np.testing.assert_allclose(
         np.asarray(c.embeds[0]), np.asarray(b.embeds[0]),
         rtol=2e-4, atol=2e-5)
+
+
+def test_adaptive_epoch_chunk_bounds():
+    """Chunks shrink with N (one chunk = one dispatch; the tunneled
+    worker dies under multi-minute dispatches) within [4, 100]."""
+    from multimodal_umap_tpu.models.layout import default_epoch_chunk
+
+    assert default_epoch_chunk(160) == 100
+    assert default_epoch_chunk(31744) == 100
+    assert default_epoch_chunk(524288) == 30
+    assert default_epoch_chunk(1048576) == 15
+    assert default_epoch_chunk(10_000_000) == 4
+
+
+def test_snapshot_throttle_and_final_save(blobs, tmp_path, monkeypatch):
+    """With a huge snapshot interval and forced small epoch chunks,
+    intermediate boundaries skip the (expensive) serialization but the
+    final chunk ALWAYS saves -- and the saved snapshot resumes."""
+    x0, x1, _ = blobs
+    kwargs = dict(num_rep=2, lr=0.05, alpha=0.5, batch_size=64)
+    snap = os.path.join(tmp_path, "throttled.npz")
+    monkeypatch.setenv("MMUMAP_EPOCH_CHUNK", "5")
+    monkeypatch.setenv("MMUMAP_SNAPSHOT_INTERVAL_S", "1e9")
+
+    m = MultimodalUMAP(8, 4, 0.1, num_encoders=2, seed=7)
+    m.fit([x0, x1], epochs=20, progress_path=snap, **kwargs)
+    # Only the first boundary (cold timer) and the final one wrote;
+    # what is on disk must be the FINAL epoch, not an intermediate.
+    assert int(np.load(snap)["epoch"]) == 20
+
+    resumed = MultimodalUMAP(8, 4, 0.1, num_encoders=2, seed=7)
+    resumed.fit([x0, x1], epochs=20, progress_path=snap, resume=True,
+                **kwargs)
+    assert len(resumed.loss_history["fit"]) == 0
+    np.testing.assert_allclose(
+        np.asarray(resumed.embeds[0]), np.asarray(m.embeds[0]),
+        rtol=1e-6)
