@@ -168,11 +168,11 @@ def run_flickr_scale(n_train: int = 31744, n_test: int = 1024) -> dict:
     # rate (k_test / n_test) and trustworthiness >= 0.95 per modality.
     # A scale-only quality regression trips these even when the small-N
     # parity gates stay green.
-    gates_ok = bool(
-        acc >= 20.0 * (1.0 / n_test) and min(trust) >= 0.95
-    )
+    knn1_floor = 20.0 * (1.0 / n_test)
+    gates_ok = bool(acc >= knn1_floor and min(trust) >= 0.95)
 
     return {
+        "knn1_floor": knn1_floor,
         "fit_s": t_fit,
         "eval_s": t_eval,
         "e2e_s": t_fit + t_eval,
@@ -338,7 +338,7 @@ def main() -> None:
         # JSON line so the driver still records the numbers.
         raise AssertionError(
             f"31k quality floor gates failed: knn1={flickr['knn1']:.4f} "
-            f"(floor {20.0 / 1024:.4f}), trust={flickr['trust']} "
+            f"(floor {flickr['knn1_floor']:.4f}), trust={flickr['trust']} "
             f"(floor 0.95)"
         )
 

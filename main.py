@@ -114,13 +114,15 @@ def main() -> None:
             n_test, dims=(768, 4096), seed=args.seed + 1,
             centers_seed=args.seed,
         )
-    else:
-        train_split = load_data(split="train")
-        test_split = load_data(split="test")
-
     mesh = create_mesh(args.mesh_devices or None)
     if mesh.devices.size == 1:
         mesh = None  # single device: skip sharding machinery
+
+    if not args.synthetic:
+        # Mesh runs extract BERT/VAE features data-parallel over the
+        # batch axis (data/flickr30k.py:extract_features).
+        train_split = load_data(split="train", mesh=mesh)
+        test_split = load_data(split="test", mesh=mesh)
 
     prewarm = None
     if args.load_pretrained == "yes":

@@ -48,6 +48,7 @@ from ..ops.graph import (
     fuzzy_weights,
 )
 from ..ops.knn import knn, resolve_engine
+from ..ops.knn_stream import exceeds_dispatch_budget
 from ..ops.spectral import spectral_embedding
 
 
@@ -121,15 +122,8 @@ def _ring_ok(mesh, num_refs: int) -> bool:
     back to the replicated plan keeps odd sizes correct)."""
     if mesh is None:
         return False
-    size = int(np_prod(mesh.devices.shape))
+    size = int(mesh.devices.size)
     return size > 1 and num_refs % size == 0
-
-
-def np_prod(shape) -> int:
-    out = 1
-    for s in shape:
-        out *= int(s)
-    return out
 
 
 def _ring_knn(queries, references, k, mesh, *, exclude_self, engine):
@@ -137,7 +131,7 @@ def _ring_knn(queries, references, k, mesh, *, exclude_self, engine):
     the true query count."""
     from ..ops.knn_stream import knn_ring, pad_rows_to_multiple
 
-    p = np_prod(mesh.devices.shape)
+    p = int(mesh.devices.size)
     q_pad, n_q = pad_rows_to_multiple(queries, p)
     dists, nbrs = knn_ring(
         q_pad, references, k, mesh,
@@ -188,6 +182,15 @@ class ModalityEncoder:
             )
             (nbrs, weights, rhos, sigmas, rows, cols, edge_w, edge_valid,
              sym_w, bwd_valid) = _fit_graph_post(dists, nbrs)
+        elif exceeds_dispatch_budget(n, n, features.shape[1]):
+            # Beyond the single-dispatch budget the sweep must chunk at
+            # the HOST level (the tunneled worker dies under multi-
+            # minute dispatches) -- run the kNN eagerly (knn_streamed
+            # chunks + syncs internally) and only the graph tail fused.
+            dists, nbrs = knn(features, features, self.k_neighbors,
+                              exclude_self=True, engine=engine)
+            (nbrs, weights, rhos, sigmas, rows, cols, edge_w, edge_valid,
+             sym_w, bwd_valid) = _fit_graph_post(dists, nbrs)
         else:
             (nbrs, weights, rhos, sigmas, rows, cols, edge_w, edge_valid,
              sym_w, bwd_valid) = _fit_graph_compute(
@@ -217,6 +220,12 @@ class ModalityEncoder:
                 exclude_self=False, engine=engine,
             )
             return _transform_graph_post(dists, nbrs, train_embeds)
+        if exceeds_dispatch_budget(
+                query.shape[0], train_features.shape[0],
+                train_features.shape[1]):
+            dists, nbrs = knn(query, train_features, self.k_neighbors,
+                              engine=engine)
+            return _transform_graph_post(dists, nbrs, train_embeds)
         return _transform_graph_compute(
             query, train_features, train_embeds, self.k_neighbors, engine
         )
@@ -238,6 +247,14 @@ class ModalityEncoder:
                 query_embeds, train_embeds, self.k_neighbors, mesh,
                 exclude_self=False, engine=engine,
             )
+            return _invert_graph_post(
+                dists, nbrs, train_data, jnp.float32(a), jnp.float32(b)
+            )
+        if exceeds_dispatch_budget(
+                query_embeds.shape[0], train_embeds.shape[0],
+                train_embeds.shape[1]):
+            dists, nbrs = knn(query_embeds, train_embeds,
+                              self.k_neighbors, engine=engine)
             return _invert_graph_post(
                 dists, nbrs, train_data, jnp.float32(a), jnp.float32(b)
             )

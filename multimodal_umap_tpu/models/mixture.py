@@ -78,14 +78,20 @@ def _progress_callback(label: str, epochs: int, progress_path: str | None,
                 return
             last_save[0] = now
             leaves = jax.tree_util.tree_leaves(opt_state)
+            # Atomic write (tmp + rename): at 1M a snapshot is ~1.5 GB
+            # through a slow vCPU -- a long window in which the very
+            # preemption this file guards against would otherwise leave
+            # a truncated npz that breaks every subsequent resume.
+            tmp = progress_path + ".tmp.npz"
             np.savez(
-                progress_path,
+                tmp,
                 epoch=done,
                 **{f"embeds_{m}": np.asarray(p)
                    for m, p in enumerate(params)},
                 **{f"opt_{i}": np.asarray(leaf)
                    for i, leaf in enumerate(leaves)},
             )
+            os.replace(tmp, progress_path)
 
     return callback
 

@@ -56,6 +56,9 @@ import jax.numpy as jnp
 
 _INF = jnp.float32(jnp.inf)
 
+# Valid engine names (module docstring / main.py --knn_engine).
+_ENGINES = frozenset({"bf16", "xla", "pallas", "approx", "stream"})
+
 
 def resolve_engine(engine: str | None = None) -> str:
     """Engine resolution: explicit argument > MMUMAP_KNN_ENGINE env var
@@ -64,13 +67,19 @@ def resolve_engine(engine: str | None = None) -> str:
     Resolved at the *caller* (encoder / CLI) and threaded into jitted
     graph builders as a static argument, so an env-var change can never
     be masked by a stale jit-cache entry.
+
+    Unknown names raise: silently falling through to the full-width f32
+    panel path would skip the streaming guard (an 8192 x N f32 panel is
+    ~17 GB at N=524k) and run a different engine than requested.
     """
-    if engine:
-        return engine
-    env = os.environ.get("MMUMAP_KNN_ENGINE", "")
-    if env:
-        return env
-    return "bf16" if jax.default_backend() == "tpu" else "xla"
+    resolved = engine or os.environ.get("MMUMAP_KNN_ENGINE", "") or (
+        "bf16" if jax.default_backend() == "tpu" else "xla"
+    )
+    if resolved not in _ENGINES:
+        raise ValueError(
+            f"unknown kNN engine {resolved!r}; expected one of "
+            f"{sorted(_ENGINES)}")
+    return resolved
 
 
 def _candidate_width(k: int, n_avail: int) -> int:

@@ -53,6 +53,7 @@ ring over column blocks".
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -61,6 +62,21 @@ import numpy as np
 from .knn import _candidate_width, _exact_rescore_sq, hier_topk_smallest
 
 _INF = jnp.float32(jnp.inf)
+
+
+def dispatch_flops_budget() -> float:
+    """Max panel FLOPs a single fused-sweep dispatch may carry
+    (``MMUMAP_KNN_DISPATCH_FLOPS``; ~<=60 s of bf16 panel math at the
+    default). See :func:`knn_streamed` for why the cap exists."""
+    return float(os.environ.get("MMUMAP_KNN_DISPATCH_FLOPS", 1e15))
+
+
+def exceeds_dispatch_budget(num_q: int, num_r: int, dim: int) -> bool:
+    """True when a (num_q x num_r x dim) sweep must be host-chunked --
+    callers that normally fuse the kNN into a larger jitted program
+    (models/encoder.py) switch to the eager chunked engine, because
+    host-level chunking cannot run under a trace."""
+    return 2.0 * num_q * num_r * dim > dispatch_flops_budget()
 
 
 def _panel_sq(
@@ -147,6 +163,7 @@ def _stream_all(
     q: jax.Array,
     r: jax.Array,
     num_valid_cols: jax.Array,
+    row_offset0: jax.Array,
     k: int,
     exclude_self: bool,
     row_block: int,
@@ -159,13 +176,15 @@ def _stream_all(
     (blocks, block, D) is layout-free, so the scans stream slices of
     the original tables without copies. ``k`` here is the carried
     selection width (the caller widens it to the candidate width in
-    bf16 mode).
+    bf16 mode). ``row_offset0`` is the global id of query row 0 (used
+    by the exclude-self mask when the caller sweeps a query CHUNK of a
+    larger table -- see the dispatch budget in :func:`knn_streamed`).
     """
     n_rb = q.shape[0] // row_block
     n_cb = r.shape[0] // col_block
     q_blocks = q.reshape(n_rb, row_block, q.shape[1])
     r_blocks = r.reshape(n_cb, col_block, r.shape[1])
-    row_offs = jnp.arange(n_rb, dtype=jnp.int32) * row_block
+    row_offs = row_offset0 + jnp.arange(n_rb, dtype=jnp.int32) * row_block
     col_offs = jnp.arange(n_cb, dtype=jnp.int32) * col_block
 
     def row_step(_, rx):
@@ -199,6 +218,7 @@ def _rescore_topk(
     r: jax.Array,
     cand_i: jax.Array,
     num_valid_cols: jax.Array,
+    row_offset0: jax.Array,
     k: int,
     exclude_self: bool,
     chunk: int,
@@ -208,7 +228,8 @@ def _rescore_topk(
     d2 = _exact_rescore_sq(q, r, safe_ids, chunk)
     invalid = (cand_i < 0) | (cand_i >= num_valid_cols)
     if exclude_self:
-        rows = jnp.arange(q.shape[0], dtype=jnp.int32)[:, None]
+        rows = (row_offset0
+                + jnp.arange(q.shape[0], dtype=jnp.int32))[:, None]
         invalid = invalid | (cand_i == rows)
     d2 = jnp.where(invalid, _INF, d2)
     neg_d, sel = jax.lax.top_k(-d2, k)
@@ -223,17 +244,27 @@ def _rescore_topk(
 def _streamed_fused(
     q: jax.Array,
     r: jax.Array,
+    row_offset0: jax.Array,
     k: int,
     exclude_self: bool,
     row_block: int,
     col_block: int,
     bf16: bool,
+    num_valid_cols: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Pad + sweep + (rescore) + slice as ONE program: on the tunneled
     single-host setup every separate dispatch costs ~29 ms of RPC/sync
     latency -- at flickr scale that is comparable to the whole device
-    work, so the entire engine compiles to a single executable."""
+    work, so the entire engine compiles to a single executable.
+    ``row_offset0``: global id of query row 0 (exclude-self under the
+    dispatch-budget query chunking of :func:`knn_streamed`).
+    ``num_valid_cols``: true reference count when ``r`` arrives already
+    padded to a ``col_block`` multiple (the chunked caller pads ONCE --
+    re-padding the full table inside every per-chunk dispatch would
+    materialize a whole extra (N, D) copy per dispatch)."""
     num_q, num_r = q.shape[0], r.shape[0]
+    if num_valid_cols is None:
+        num_valid_cols = num_r
     n_rb = -(-num_q // row_block)
     n_cb = -(-num_r // col_block)
     q_pad = q
@@ -244,17 +275,17 @@ def _streamed_fused(
         r_pad = jnp.pad(r, ((0, n_cb * col_block - num_r), (0, 0)))
 
     sel_width = (
-        _candidate_width(k, num_r - (1 if exclude_self else 0))
+        _candidate_width(k, num_valid_cols - (1 if exclude_self else 0))
         if bf16 else k
     )
     best_d, best_i = _stream_all(
-        q_pad, r_pad, jnp.int32(num_r), sel_width, exclude_self,
-        row_block, col_block, bf16,
+        q_pad, r_pad, jnp.int32(num_valid_cols), row_offset0, sel_width,
+        exclude_self, row_block, col_block, bf16,
     )
     if bf16:
         return _rescore_topk(
-            q, r_pad, best_i[:num_q], jnp.int32(num_r), k, exclude_self,
-            chunk=512,
+            q, r_pad, best_i[:num_q], jnp.int32(num_valid_cols),
+            row_offset0, k, exclude_self, chunk=512,
         )
     return jnp.sqrt(best_d[:num_q]), best_i[:num_q]
 
@@ -281,6 +312,16 @@ def knn_streamed(
     what would not fit -- that is why they are bf16); ranking is then
     forced to the bf16 path and the re-score upcasts per chunk, so
     distances are exact w.r.t. the stored values.
+
+    DISPATCH BUDGET: a single fused sweep at N=1M runs for several
+    MINUTES of device time in one executable, and the axon-tunneled
+    worker reproducibly dies under it (measured: the 1M x 1M D=768
+    sweep crashes the worker; the 512k sweep, ~40 s, completes). Past
+    ``MMUMAP_KNN_DISPATCH_FLOPS`` (default 1e15 ~ <=60 s of bf16 panel
+    math) the query axis is therefore chunked at the HOST level: each
+    chunk is the same fused executable (compiled once), synced before
+    the next dispatch, so no single dispatch exceeds the budget. The
+    extra RPC cost is ~29 ms x (chunks - 1) -- noise at this scale.
     """
     q = jnp.asarray(queries)
     r = jnp.asarray(references)
@@ -292,10 +333,54 @@ def knn_streamed(
     num_q, num_r = q.shape[0], r.shape[0]
     if k > num_r - (1 if exclude_self else 0):
         raise ValueError(f"k={k} exceeds available references ({num_r})")
-    return _streamed_fused(
-        q, r, k, exclude_self,
-        min(row_block, num_q), min(col_block, num_r), bf16,
-    )
+    row_block = min(row_block, num_q)
+    col_block = min(col_block, num_r)
+
+    tracing = isinstance(q, jax.core.Tracer) or isinstance(
+        r, jax.core.Tracer)
+    total_flops = 2.0 * num_q * num_r * q.shape[1]
+    if (tracing or total_flops <= dispatch_flops_budget()
+            or num_q <= row_block):
+        # Under a trace the host chunk loop cannot sync, so the sweep
+        # stays one program -- eager callers past the budget go through
+        # exceeds_dispatch_budget() and call this function eagerly.
+        return _streamed_fused(
+            q, r, jnp.int32(0), k, exclude_self, row_block, col_block,
+            bf16,
+        )
+
+    # Query chunks: multiples of row_block, each within the budget.
+    rows_per_budget = max(
+        1, int(dispatch_flops_budget() / (2.0 * num_r * q.shape[1])))
+    q_chunk = max(row_block, rows_per_budget // row_block * row_block)
+    n_chunks = -(-num_q // q_chunk)
+    q_pad = q
+    if n_chunks * q_chunk != num_q:
+        q_pad = jnp.pad(q, ((0, n_chunks * q_chunk - num_q), (0, 0)))
+    # Pad the reference table to a col_block multiple ONCE: done inside
+    # _streamed_fused it would materialize a full extra (N, D) copy in
+    # every per-chunk dispatch.
+    n_cb = -(-num_r // col_block)
+    r_pad = r
+    if n_cb * col_block != num_r:
+        r_pad = jnp.pad(r, ((0, n_cb * col_block - num_r), (0, 0)))
+        np.asarray(r_pad[:1, :1])  # materialize before the loop
+    d_parts, i_parts = [], []
+    for c in range(n_chunks):
+        d, i = _streamed_fused(
+            jax.lax.dynamic_slice_in_dim(q_pad, c * q_chunk, q_chunk),
+            r_pad, jnp.int32(c * q_chunk), k, exclude_self, row_block,
+            col_block, bf16, num_valid_cols=num_r,
+        )
+        # True host sync between dispatches: on the tunnel only a
+        # readback drains the queue, and the point of chunking is that
+        # no in-flight window exceeds the budget.
+        np.asarray(d[:1, :1])
+        d_parts.append(d)
+        i_parts.append(i)
+    dists = jnp.concatenate(d_parts)[:num_q]
+    ids = jnp.concatenate(i_parts)[:num_q]
+    return dists, ids
 
 
 def knn_ring(
@@ -391,9 +476,19 @@ def knn_ring(
                 cur = jax.lax.ppermute(cur, axis, perm)
         return jnp.sqrt(jnp.maximum(best_d, 0.0)), best_i
 
+    def _stored(x):
+        # Preserve bf16 storage: upcasting here would materialize a
+        # 2x-sized per-shard copy of the very tables feature_dtype
+        # halves, and double the ppermute ring's ICI bytes. _panel_sq /
+        # _exact_rescore_sq upcast element-wise where math needs f32.
+        x = jnp.asarray(x)
+        if x.dtype != jnp.bfloat16:
+            x = x.astype(jnp.float32)
+        return x
+
     shard = NamedSharding(mesh, P(axis, None))
-    q = jax.device_put(jnp.asarray(queries, dtype=jnp.float32), shard)
-    r = jax.device_put(jnp.asarray(references, dtype=jnp.float32), shard)
+    q = jax.device_put(_stored(queries), shard)
+    r = jax.device_put(_stored(references), shard)
     fn = jax.jit(
         jax.shard_map(
             body, mesh=mesh,

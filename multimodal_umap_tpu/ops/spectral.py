@@ -151,61 +151,13 @@ def _spectral_chebyshev(
     makes convergence a measured property at every N
     (tools/check_spectral_convergence.py records it at scale).
     """
-    n = graph.num_rows
-    m = out_dim + 1 + guard
-    d_inv_sqrt = _degrees(graph) ** -0.5
-
-    def lap(x):
-        # L @ x (the un-shifted operator; _laplacian_matvec applies the
-        # LOBPCG shift, which the filter does not want).
-        return _LOBPCG_SHIFT * x - _laplacian_matvec(graph, d_inv_sqrt, x)
-
-    def rayleigh_ritz(x):
-        """Orthonormal Ritz block (ascending) + its Ritz values."""
-        b = x.T @ lap(x)
-        b = (b + b.T) / 2.0
-        theta, v = jnp.linalg.eigh(b)  # ascending
-        return x @ v, theta
-
-    hi = 2.0 + 2.0 * _EPS_SHIFT
-
-    def block_residual(x, theta):
-        """Worst ||L v_j - theta_j v_j|| over the returned columns
-        (Ritz vectors are unit-norm after Rayleigh-Ritz)."""
-        keep = x[:, : out_dim + 1]
-        r = lap(keep) - keep * theta[None, : out_dim + 1]
-        return jnp.max(jnp.sqrt(jnp.sum(r * r, axis=0)))
-
-    key = jax.random.PRNGKey(42)
-    x = jax.random.normal(key, (n, m), dtype=jnp.float32)
-    trivial = 1.0 / d_inv_sqrt
-    x = x.at[:, 0].set(trivial / jnp.linalg.norm(trivial))
-    x, _ = jnp.linalg.qr(x)
-    x, theta = rayleigh_ritz(x)
+    x, theta, d_inv_sqrt = _cheb_init(graph, out_dim, guard)
 
     def one_round(carry):
         x, theta, _, i = carry
-        # Damp [lo, hi] where lo is the block's largest Ritz value,
-        # kept strictly inside the spectrum interval.
-        lo = jnp.clip(theta[-1], 0.05 * hi, 0.95 * hi)
-        half_w = (hi - lo) / 2.0
-        center = (lo + hi) / 2.0
-        # Three-term recurrence for T_p((L - c I)/e) @ x. The filter
-        # amplifies low-eigenvalue components by up to cosh(p*acosh(.))
-        # ~ 1e17, whose squared norms overflow f32 inside QR; rescaling
-        # BOTH recurrence terms by the same factor preserves the
-        # filtered direction (the recurrence is linear).
-        y_prev = x
-        y = (lap(x) - center * x) / half_w
-        for _ in range(degree - 1):
-            y_next = 2.0 * (lap(y) - center * y) / half_w - y_prev
-            y_prev, y = y, y_next
-            scale = 1.0 / jnp.maximum(jnp.max(jnp.abs(y)), 1.0)
-            y = y * scale
-            y_prev = y_prev * scale
-        x, _ = jnp.linalg.qr(y)
-        x, theta = rayleigh_ritz(x)
-        return x, theta, block_residual(x, theta), i + 1
+        x, theta = _cheb_filter_round(graph, d_inv_sqrt, x, theta, degree)
+        resid = _cheb_residual(graph, d_inv_sqrt, x, theta, out_dim)
+        return x, theta, resid, i + 1
 
     def keep_going(carry):
         _, _, resid, i = carry
@@ -217,6 +169,109 @@ def _spectral_chebyshev(
     )
 
     # Drop the trivial eigenvector, keep the next out_dim.
+    return x[:, 1 : out_dim + 1]
+
+
+def _cheb_lap(graph: EdgeGraph, d_inv_sqrt: jax.Array, x: jax.Array):
+    """L @ x (the un-shifted operator; _laplacian_matvec applies the
+    LOBPCG shift, which the filter does not want)."""
+    return _LOBPCG_SHIFT * x - _laplacian_matvec(graph, d_inv_sqrt, x)
+
+
+def _cheb_rayleigh_ritz(graph: EdgeGraph, d_inv_sqrt, x):
+    """Orthonormal Ritz block (ascending) + its Ritz values."""
+    b = x.T @ _cheb_lap(graph, d_inv_sqrt, x)
+    b = (b + b.T) / 2.0
+    theta, v = jnp.linalg.eigh(b)  # ascending
+    return x @ v, theta
+
+
+def _cheb_residual(graph: EdgeGraph, d_inv_sqrt, x, theta, out_dim: int):
+    """Worst ||L v_j - theta_j v_j|| over the returned columns
+    (Ritz vectors are unit-norm after Rayleigh-Ritz)."""
+    keep = x[:, : out_dim + 1]
+    r = (_cheb_lap(graph, d_inv_sqrt, keep)
+         - keep * theta[None, : out_dim + 1])
+    return jnp.max(jnp.sqrt(jnp.sum(r * r, axis=0)))
+
+
+def _cheb_filter_round(graph: EdgeGraph, d_inv_sqrt, x, theta,
+                       degree: int):
+    """One Chebyshev filter application + QR + Rayleigh-Ritz.
+
+    Damp [lo, hi] where lo is the block's largest Ritz value, kept
+    strictly inside the spectrum interval. The three-term recurrence
+    for T_p((L - c I)/e) @ x amplifies low-eigenvalue components by up
+    to cosh(p*acosh(.)) ~ 1e17, whose squared norms overflow f32 inside
+    QR; rescaling BOTH recurrence terms by the same factor preserves
+    the filtered direction (the recurrence is linear).
+    """
+    hi = 2.0 + 2.0 * _EPS_SHIFT
+    lo = jnp.clip(theta[-1], 0.05 * hi, 0.95 * hi)
+    half_w = (hi - lo) / 2.0
+    center = (lo + hi) / 2.0
+    y_prev = x
+    y = (_cheb_lap(graph, d_inv_sqrt, x) - center * x) / half_w
+    for _ in range(degree - 1):
+        y_next = (2.0 * (_cheb_lap(graph, d_inv_sqrt, y) - center * y)
+                  / half_w - y_prev)
+        y_prev, y = y, y_next
+        scale = 1.0 / jnp.maximum(jnp.max(jnp.abs(y)), 1.0)
+        y = y * scale
+        y_prev = y_prev * scale
+    x, _ = jnp.linalg.qr(y)
+    return _cheb_rayleigh_ritz(graph, d_inv_sqrt, x)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dim", "guard"))
+def _cheb_init(graph: EdgeGraph, out_dim: int, guard: int):
+    """Seeded orthonormal start block + its Ritz values."""
+    n = graph.num_rows
+    m = out_dim + 1 + guard
+    d_inv_sqrt = _degrees(graph) ** -0.5
+    key = jax.random.PRNGKey(42)
+    x = jax.random.normal(key, (n, m), dtype=jnp.float32)
+    trivial = 1.0 / d_inv_sqrt
+    x = x.at[:, 0].set(trivial / jnp.linalg.norm(trivial))
+    x, _ = jnp.linalg.qr(x)
+    x, theta = _cheb_rayleigh_ritz(graph, d_inv_sqrt, x)
+    return x, theta, d_inv_sqrt
+
+
+@functools.partial(jax.jit, static_argnames=("out_dim", "degree"))
+def _cheb_round_program(graph: EdgeGraph, d_inv_sqrt, x, theta,
+                        out_dim: int, degree: int):
+    x, theta = _cheb_filter_round(graph, d_inv_sqrt, x, theta, degree)
+    resid = _cheb_residual(graph, d_inv_sqrt, x, theta, out_dim)
+    return x, theta, resid
+
+
+def _spectral_chebyshev_hostloop(
+    graph: EdgeGraph,
+    out_dim: int,
+    degree: int = 24,
+    max_rounds: int = 8,
+    guard: int = 8,
+    tol: float = 2e-3,
+):
+    """The SAME filter as :func:`_spectral_chebyshev` (shared round
+    helpers, identical math and round count) with one jitted dispatch
+    per round and the residual read back on host.
+
+    At N >= ~500k a full `max_rounds` while_loop is a multi-minute
+    single dispatch, which reproducibly kills the axon-tunneled TPU
+    worker (the same dispatch-duration limit as the kNN sweep --
+    ops/knn_stream.knn_streamed). Per-round dispatches cost
+    ~29 ms x rounds of extra RPC latency: noise at this scale.
+    """
+    import numpy as np
+
+    x, theta, d_inv_sqrt = _cheb_init(graph, out_dim, guard)
+    for _ in range(max_rounds):
+        x, theta, resid = _cheb_round_program(
+            graph, d_inv_sqrt, x, theta, out_dim, degree)
+        if float(np.asarray(resid)) <= tol:
+            break
     return x[:, 1 : out_dim + 1]
 
 
@@ -272,5 +327,14 @@ def spectral_embedding(
     if method == "lobpcg":
         return _spectral_lobpcg(graph, out_dim, max_iters=max_iters)
     if method == "chebyshev":
+        import os
+
+        hostloop_n = int(
+            os.environ.get("MMUMAP_SPECTRAL_HOSTLOOP_N", 400_000))
+        tracing = isinstance(graph.rows, jax.core.Tracer)
+        if n >= hostloop_n and not tracing:
+            # Past ~500k the fused while_loop is a multi-minute single
+            # dispatch -- over the tunnel's dispatch-duration limit.
+            return _spectral_chebyshev_hostloop(graph, out_dim)
         return _spectral_chebyshev(graph, out_dim)
     raise ValueError(f"unknown spectral method: {method}")

@@ -81,13 +81,20 @@ def save_state(path: str, state: dict, compress: bool = False) -> None:
 
 
 def feature_fingerprint(feats) -> int:
-    """Cheap content guard for the graph cache: CRC of row 0's bytes
-    plus the table shape. Detects a cache written for different
-    features without hashing the (N, D) table."""
+    """Cheap content guard for the graph cache: CRC over a strided
+    sample of up to 64 rows (always including first and last) plus the
+    table shape. Detects a cache written for different features --
+    including re-extracted tables that share row 0 -- without hashing
+    the whole (N, D) table (64 rows x 4096 dims is ~1 MB of CRC at any
+    N)."""
     import zlib
 
-    row = np.ascontiguousarray(np.asarray(feats[0]))
-    crc = zlib.crc32(row.tobytes())
+    n = int(np.shape(feats)[0])
+    idx = sorted({0, n - 1, *range(0, n, -(-n // 62))})
+    # One gather + one host readback (per-row reads would be ~60 tunnel
+    # round-trips on a device-resident table).
+    rows = np.ascontiguousarray(np.asarray(feats[np.asarray(idx)]))
+    crc = zlib.crc32(rows.tobytes())
     shape = ",".join(str(s) for s in np.shape(feats))
     return zlib.crc32(shape.encode(), crc)
 

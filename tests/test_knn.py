@@ -123,3 +123,18 @@ def test_knn_engine_env_var(rng, monkeypatch):
     assert resolve_engine("xla") == "xla"  # explicit wins
     monkeypatch.delenv("MMUMAP_KNN_ENGINE")
     assert resolve_engine() in ("xla", "bf16")
+
+
+def test_resolve_engine_rejects_unknown_names(monkeypatch):
+    """Unknown engine names must raise, not silently fall through to
+    the full-width f32 panel path (which skips the streaming guard)."""
+    import pytest
+
+    from multimodal_umap_tpu.ops.knn import resolve_engine
+
+    with pytest.raises(ValueError, match="unknown kNN engine"):
+        resolve_engine("exact")
+    monkeypatch.setenv("MMUMAP_KNN_ENGINE", "ring")
+    with pytest.raises(ValueError, match="unknown kNN engine"):
+        resolve_engine(None)
+    assert resolve_engine("bf16") == "bf16"

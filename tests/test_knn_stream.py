@@ -131,3 +131,76 @@ def test_ring_padded_references_masked(rng):
                                   np.sort(np.asarray(i0), 1))
     np.testing.assert_allclose(np.asarray(d1[:n_q]), np.asarray(d0),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_streamed_dispatch_budget_chunking(rng, monkeypatch):
+    """Past MMUMAP_KNN_DISPATCH_FLOPS the query axis chunks at the host
+    level (one synced dispatch per chunk; the tunneled worker dies
+    under multi-minute single dispatches) -- results must be identical,
+    including exclude-self masking with non-zero chunk row offsets."""
+    x = jnp.asarray(rng.normal(size=(263, 12)).astype(np.float32))
+    d0, i0 = knn_streamed(x, x, 7, exclude_self=True,
+                          row_block=64, col_block=48)
+    # 2 * 263 * 263 * 12 ~ 1.66e6 flops; budget forces ~4+ chunks.
+    monkeypatch.setenv("MMUMAP_KNN_DISPATCH_FLOPS", "4e5")
+    d1, i1 = knn_streamed(x, x, 7, exclude_self=True,
+                          row_block=64, col_block=48)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_streamed_dispatch_budget_query_mode_ragged(rng, monkeypatch):
+    """Chunked query mode with a query count that is not a multiple of
+    the chunk size (exercises the pad + slice-back path)."""
+    r = jnp.asarray(rng.normal(size=(190, 9)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(157, 9)).astype(np.float32))
+    d0, i0 = knn_streamed(q, r, 6, row_block=16, col_block=37)
+    monkeypatch.setenv("MMUMAP_KNN_DISPATCH_FLOPS", "2e5")
+    d1, i1 = knn_streamed(q, r, 6, row_block=16, col_block=37)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fit_graph_budget_path_matches_fused(rng, monkeypatch):
+    """encoder.fit_graph past the dispatch budget routes through the
+    eager chunked kNN + _fit_graph_post; the graph must match the fused
+    single-program path."""
+    from multimodal_umap_tpu.models.encoder import ModalityEncoder
+
+    x = jnp.asarray(rng.normal(size=(128, 10)).astype(np.float32))
+    enc0 = ModalityEncoder(k_neighbors=5, out_dim=4)
+    g0, dense0, _ = enc0.fit_graph(x)
+    monkeypatch.setenv("MMUMAP_KNN_DISPATCH_FLOPS", "1e4")
+    enc1 = ModalityEncoder(k_neighbors=5, out_dim=4)
+    g1, dense1, _ = enc1.fit_graph(x)
+    np.testing.assert_array_equal(np.asarray(dense0.nbrs),
+                                  np.asarray(dense1.nbrs))
+    np.testing.assert_allclose(np.asarray(dense0.weights),
+                               np.asarray(dense1.weights),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(g0.rows), np.asarray(g1.rows))
+    np.testing.assert_allclose(np.asarray(enc0.sigmas),
+                               np.asarray(enc1.sigmas),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_ring_preserves_bf16_storage(rng):
+    """knn_ring must not upcast bf16-stored tables (that would
+    materialize the 2x f32 copy feature_dtype exists to avoid); results
+    still match the f32 engine after exact re-scoring."""
+    import jax
+
+    from multimodal_umap_tpu.ops.knn_stream import knn_ring
+
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]), ("data",))
+    x32 = rng.normal(size=(64, 12)).astype(np.float32)
+    x16 = jnp.asarray(x32, dtype=jnp.bfloat16)
+    d0, i0 = knn_streamed(jnp.asarray(np.asarray(x16, dtype=np.float32)),
+                          jnp.asarray(np.asarray(x16, dtype=np.float32)),
+                          5, exclude_self=True)
+    d1, i1 = knn_ring(x16, x16, 5, mesh, exclude_self=True)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1),
+                               rtol=1e-3, atol=1e-3)

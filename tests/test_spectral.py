@@ -109,3 +109,18 @@ def test_blocked_adjacency_apply_matches_direct(rng):
         S._EDGE_BLOCK = old
     np.testing.assert_allclose(np.asarray(direct), np.asarray(blocked),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_chebyshev_hostloop_matches_fused(rng):
+    """The per-round host-loop driver (dispatch-duration guard at very
+    large N) must reproduce the fused while_loop filter exactly: same
+    init, same round math, same residual stopping rule."""
+    from multimodal_umap_tpu.ops.spectral import (
+        _spectral_chebyshev,
+        _spectral_chebyshev_hostloop,
+    )
+
+    graph = _graph(rng, n=300, k=6)
+    e0 = np.asarray(_spectral_chebyshev(graph, 8))
+    e1 = np.asarray(_spectral_chebyshev_hostloop(graph, 8))
+    np.testing.assert_allclose(e0, e1, rtol=2e-4, atol=2e-4)

@@ -62,8 +62,8 @@ def parse_args() -> argparse.Namespace:
                    help="feature-extraction batch size")
     p.add_argument("--k_test", type=int, default=1)
     p.add_argument("--knn_engine", type=str, default=None,
-                   help="kNN engine override (ops/knn.py; e.g. exact, "
-                        "bf16, stream, ring, approx, pallas)")
+                   help="kNN engine override (ops/knn.py: bf16, xla, "
+                        "stream, approx, pallas)")
     return p.parse_args()
 
 
