@@ -395,6 +395,7 @@ def knn_ring(
     num_valid_rows: int | None = None,
     num_valid_cols: int | None = None,
     rescore_chunk: int = 512,
+    lower_only: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact kNN with the reference table ring-sharded over the mesh.
 
@@ -411,6 +412,11 @@ def knn_ring(
     exactly with a chunked local gather before merging -- the full
     reference table is never replicated and returned distances are
     exact f32.
+
+    ``lower_only`` returns the compiled HLO text instead of running
+    (communication-volume testing, parallel/collectives.py): the ring
+    must move exactly P-1 collective-permutes of one (N/P, D) shard and
+    nothing else -- no all-gather of the table.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -473,7 +479,17 @@ def knn_ring(
                 gids = cols[local_ids]
             best_d, best_i = _merge_topk(best_d, best_i, d2, gids, k)
             if step < p - 1:
-                cur = jax.lax.ppermute(cur, axis, perm)
+                if cur.dtype == jnp.bfloat16:
+                    # Rotate the RAW bf16 bits: XLA otherwise sinks the
+                    # panel's f32 upcast through the ppermute and moves
+                    # a 2x-sized f32 shard around the ring (verified in
+                    # lowered HLO; tests/test_layout_sharded_collectives
+                    # gates the wire bytes).
+                    bits = jax.lax.bitcast_convert_type(cur, jnp.uint16)
+                    bits = jax.lax.ppermute(bits, axis, perm)
+                    cur = jax.lax.bitcast_convert_type(bits, jnp.bfloat16)
+                else:
+                    cur = jax.lax.ppermute(cur, axis, perm)
         return jnp.sqrt(jnp.maximum(best_d, 0.0)), best_i
 
     def _stored(x):
@@ -497,6 +513,8 @@ def knn_ring(
         )
     )
     del n_valid_q  # padded query rows: garbage out, caller slices
+    if lower_only:
+        return fn.lower(q, r).compile().as_text()
     return fn(q, r)
 
 

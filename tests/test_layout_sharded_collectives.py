@@ -131,3 +131,48 @@ def test_transform_epochs_have_no_table_collectives(mesh):
     # No per-epoch gradient reduction exists in query mode (anchor-side
     # gradients are local): nothing table-sized beyond the one gather.
     assert s4["total_bytes"] < 2 * ref_bytes, s4["by_kind"]
+
+
+def test_ring_knn_collective_bytes_are_p_minus_1_shards(mesh):
+    """The ring kNN's ONLY communication must be the ring itself:
+    P-1 collective-permutes of one (N/P, D) reference shard -- never an
+    all-gather/all-reduce of the table (SURVEY.md §2.9 "all-gather
+    (ICI) ring over column blocks"; the whole point of the mesh path is
+    that no device ever holds the full reference table)."""
+    from multimodal_umap_tpu.ops.knn_stream import knn_ring
+
+    p = int(mesh.devices.size)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+    hlo = knn_ring(x, x, K, mesh, exclude_self=True, lower_only=True)
+    summary = collective_summary(hlo)
+    by_kind = summary["by_kind"]
+    permute_ops = [op for op in summary["ops"]
+                   if op[0] == "collective-permute"]
+    shard_bytes = (N // p) * D * 4
+    assert len(permute_ops) == p - 1, summary["ops"]
+    assert by_kind.get("collective-permute", 0) == (p - 1) * shard_bytes
+    assert by_kind.get("all-gather", 0) == 0, summary["ops"]
+    assert by_kind.get("all-reduce", 0) == 0, summary["ops"]
+    assert by_kind.get("all-to-all", 0) == 0, summary["ops"]
+
+
+def test_ring_knn_collective_bytes_bf16_halved(mesh):
+    """bf16-stored tables must ride the ring at 2 bytes/element -- the
+    dtype-preservation guarantee (review finding: an f32 upcast before
+    sharding doubled the ICI bytes feature_dtype halves)."""
+    from multimodal_umap_tpu.ops.knn_stream import knn_ring
+
+    p = int(mesh.devices.size)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32),
+                    dtype=jnp.bfloat16)
+    # bf16=True is the TPU production configuration (bf16 rank + exact
+    # re-score). With bf16=False XLA legitimately permutes the f32
+    # upcast it needs for the panel anyway, so only the bf16-rank mode
+    # carries the storage dtype around the ring.
+    hlo = knn_ring(x, x, K, mesh, exclude_self=True, bf16=True,
+                   lower_only=True)
+    by_kind = collective_summary(hlo)["by_kind"]
+    assert by_kind.get("collective-permute", 0) == (p - 1) * (N // p) * D * 2
+    assert by_kind.get("all-gather", 0) == 0
