@@ -175,7 +175,8 @@ class ModalityEncoder:
         ring with row-sharded tables (no replication)."""
         n = features.shape[0]
         engine = resolve_engine(self.knn_engine)
-        if _ring_ok(mesh, n):
+        ring = _ring_ok(mesh, n)
+        if ring:
             dists, nbrs = _ring_knn(
                 features, features, self.k_neighbors, mesh,
                 exclude_self=True, engine=engine,
@@ -202,7 +203,8 @@ class ModalityEncoder:
         dense = DenseSymGraph(nbrs=nbrs, weights=sym_w,
                               bwd_valid=bwd_valid, num_rows=n)
         embed = spectral_embedding(graph, self.out_dim,
-                                   method=self.spectral_method)
+                                   method=self.spectral_method,
+                                   mesh=mesh if ring else None)
         return graph, dense, embed
 
     def transform_graph(

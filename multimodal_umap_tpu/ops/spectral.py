@@ -21,7 +21,9 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from flax import struct
 from jax.experimental.sparse.linalg import lobpcg_standard
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .graph import EdgeGraph, to_dense
 
@@ -29,7 +31,88 @@ _EPS_SHIFT = 1e-6
 _LOBPCG_SHIFT = 2.0 + 2.0 * _EPS_SHIFT
 
 
-def _degrees(graph: EdgeGraph) -> jax.Array:
+@struct.dataclass
+class DestShardedGraph:
+    """Edge list bucketed by DESTINATION shard for mesh spectral runs.
+
+    Under GSPMD the Laplacian matvec's segment_sum emits one (N, m)
+    all-reduce per matvec (~26 per filter program, measured): the
+    symmetric edge list is source-row-sharded, so a shard's transposed
+    edges scatter into rows other shards own. Bucketing edges by the
+    shard that owns their destination row makes every segment_sum
+    LOCAL; the matvec's only collective is ONE all-gather of the
+    (N, m) block per application -- half the wire bytes of the
+    all-reduce, and the textbook minimum (every destination needs
+    every source column). No reference counterpart (single-device,
+    reference impl/model.py:10); SURVEY.md §2.9's mesh mapping.
+
+    ``rows`` are LOCAL destination ids (global minus the shard's row
+    offset); padded slots carry weight 0 into local row 0 -- exact
+    no-ops. Arrays are (P, E_pad), sharded on the leading axis.
+    """
+
+    rows: jax.Array  # (P, E_pad) int32, local destination ids
+    cols: jax.Array  # (P, E_pad) int32, global source ids
+    weights: jax.Array  # (P, E_pad) f32, 0 where padded/invalid
+    num_rows: int = struct.field(pytree_node=False)
+    mesh: jax.sharding.Mesh = struct.field(pytree_node=False)
+    axis: str = struct.field(pytree_node=False)
+
+
+def dest_shard_graph(graph: EdgeGraph, mesh, axis: str) -> DestShardedGraph:
+    """Buckets a symmetric EdgeGraph by destination shard (eager; once
+    per fit). Requires ``num_rows`` divisible by the mesh size (the
+    same precondition as the ring kNN path that feeds it)."""
+    p = int(mesh.shape[axis])
+    n = graph.num_rows
+    if n % p:
+        raise ValueError(f"num_rows={n} not divisible by mesh size {p}")
+    rows_per = n // p
+    num_e = graph.rows.shape[0]
+    w = jnp.where(graph.valid, graph.weights, 0.0)
+    shard_of = graph.rows // rows_per
+    order = jnp.argsort(shard_of, stable=True)
+    rows_s = jnp.asarray(graph.rows)[order]
+    cols_s = jnp.asarray(graph.cols)[order]
+    w_s = w[order]
+    counts = jnp.bincount(shard_of, length=p)
+    e_pad = int(jnp.max(counts))
+    e_pad = -(-e_pad // 8) * 8  # lane-friendly
+    starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+    )
+    idx = starts[:, None] + jnp.arange(e_pad, dtype=jnp.int32)[None, :]
+    valid = jnp.arange(e_pad)[None, :] < counts[:, None]
+    idx = jnp.minimum(idx, num_e - 1)
+    offs = (jnp.arange(p, dtype=jnp.int32) * rows_per)[:, None]
+    shard = NamedSharding(mesh, P(axis, None))
+    return DestShardedGraph(
+        rows=jax.device_put(
+            jnp.where(valid, rows_s[idx] - offs, 0).astype(jnp.int32),
+            shard),
+        cols=jax.device_put(
+            jnp.where(valid, cols_s[idx], 0).astype(jnp.int32), shard),
+        weights=jax.device_put(jnp.where(valid, w_s[idx], 0.0), shard),
+        num_rows=n,
+        mesh=mesh,
+        axis=axis,
+    )
+
+
+def _degrees(graph) -> jax.Array:
+    if isinstance(graph, DestShardedGraph):
+        rows_per = graph.num_rows // int(graph.mesh.shape[graph.axis])
+
+        def body(rows_b, w_b):
+            return jax.ops.segment_sum(
+                w_b[0], rows_b[0], num_segments=rows_per)
+
+        deg = jax.shard_map(
+            body, mesh=graph.mesh,
+            in_specs=(P(graph.axis, None), P(graph.axis, None)),
+            out_specs=P(graph.axis),
+        )(graph.rows, graph.weights)
+        return jnp.maximum(deg, 1e-6)
     w = jnp.where(graph.valid, graph.weights, 0.0)
     deg = jax.ops.segment_sum(w, graph.rows, num_segments=graph.num_rows)
     return jnp.maximum(deg, 1e-6)
@@ -41,21 +124,19 @@ def _degrees(graph: EdgeGraph) -> jax.Array:
 _EDGE_BLOCK = 4 * 1024 * 1024
 
 
-def _adjacency_apply(graph: EdgeGraph, y: jax.Array) -> jax.Array:
-    """A @ y via segment-sum over the edge list; blocked over edges
-    above ``_EDGE_BLOCK`` so the (edges, B) gather transient stays
-    constant in N."""
-    w = jnp.where(graph.valid, graph.weights, 0.0)
-    num_e = graph.rows.shape[0]
+def _edge_apply(rows, cols, w, y, num_rows: int) -> jax.Array:
+    """segment_sum(w * y[cols] -> rows) blocked over edges above
+    ``_EDGE_BLOCK`` so the (edges, B) gather transient stays constant
+    in N. Weights must already be zeroed where invalid/padded."""
+    num_e = rows.shape[0]
     if num_e <= _EDGE_BLOCK:
-        scaled = y[graph.cols] * w[:, None]
-        return jax.ops.segment_sum(scaled, graph.rows,
-                                   num_segments=graph.num_rows)
+        scaled = y[cols] * w[:, None]
+        return jax.ops.segment_sum(scaled, rows, num_segments=num_rows)
 
     pad = -(-num_e // _EDGE_BLOCK) * _EDGE_BLOCK - num_e
     # Padded edges carry weight 0 into row 0: exact no-ops.
-    rows = jnp.pad(graph.rows, (0, pad))
-    cols = jnp.pad(graph.cols, (0, pad))
+    rows = jnp.pad(rows, (0, pad))
+    cols = jnp.pad(cols, (0, pad))
     wp = jnp.pad(w, (0, pad))
     starts = jnp.arange((num_e + pad) // _EDGE_BLOCK, dtype=jnp.int32)
 
@@ -66,14 +147,39 @@ def _adjacency_apply(graph: EdgeGraph, y: jax.Array) -> jax.Array:
         w_b = jax.lax.dynamic_slice(wp, (e0,), (_EDGE_BLOCK,))
         scaled = y[cols_b] * w_b[:, None]
         return acc + jax.ops.segment_sum(
-            scaled, rows_b, num_segments=graph.num_rows), None
+            scaled, rows_b, num_segments=num_rows), None
 
     acc, _ = jax.lax.scan(
         step, jnp.zeros_like(y), starts)
     return acc
 
 
-def _laplacian_matvec(graph: EdgeGraph, d_inv_sqrt: jax.Array, x: jax.Array):
+def _adjacency_apply(graph, y: jax.Array) -> jax.Array:
+    """A @ y via segment-sum over the edge list.
+
+    EdgeGraph: single program (GSPMD under a mesh). DestShardedGraph:
+    shard_map whose ONLY collective is one all-gather of y -- every
+    destination segment_sum is shard-local by construction."""
+    if isinstance(graph, DestShardedGraph):
+        rows_per = graph.num_rows // int(graph.mesh.shape[graph.axis])
+        axis = graph.axis
+
+        def body(rows_b, cols_b, w_b, y_shard):
+            y_full = jax.lax.all_gather(y_shard, axis, axis=0, tiled=True)
+            return _edge_apply(
+                rows_b[0], cols_b[0], w_b[0], y_full, rows_per)
+
+        return jax.shard_map(
+            body, mesh=graph.mesh,
+            in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                      P(axis, None)),
+            out_specs=P(axis, None),
+        )(graph.rows, graph.cols, graph.weights, y)
+    w = jnp.where(graph.valid, graph.weights, 0.0)
+    return _edge_apply(graph.rows, graph.cols, w, y, graph.num_rows)
+
+
+def _laplacian_matvec(graph, d_inv_sqrt: jax.Array, x: jax.Array):
     """(c*I - L) @ x for x of shape (N, B); L = I - D^-1/2 A D^-1/2 + eps*I."""
     ax = _adjacency_apply(graph, d_inv_sqrt[:, None] * x)
     lx = (1.0 + _EPS_SHIFT) * x - d_inv_sqrt[:, None] * ax
@@ -294,6 +400,7 @@ def spectral_embedding(
     out_dim: int,
     method: str = "auto",
     max_iters: int = 64,
+    mesh=None,
 ) -> jax.Array:
     """Smallest non-trivial Laplacian eigenvectors of the fuzzy graph.
 
@@ -303,6 +410,11 @@ def spectral_embedding(
         method: "dense", "lobpcg", "chebyshev", or "auto" (dense below
             the small-n guardrail, else chebyshev).
         max_iters: LOBPCG iteration cap.
+        mesh: optional jax.sharding.Mesh: the Chebyshev filter then
+            buckets edges by destination shard so every matvec's only
+            collective is one all-gather of the block
+            (:class:`DestShardedGraph`; requires N divisible by the
+            mesh size, the ring-kNN precondition).
 
     Returns:
         (N, out_dim) float32 spectral coordinates.
@@ -329,9 +441,15 @@ def spectral_embedding(
     if method == "chebyshev":
         import os
 
+        tracing = isinstance(graph.rows, jax.core.Tracer)
+        if (mesh is not None and not tracing
+                and int(mesh.devices.size) > 1
+                and n % int(mesh.devices.size) == 0):
+            from ..parallel.mesh import DATA_AXIS
+
+            graph = dest_shard_graph(graph, mesh, DATA_AXIS)
         hostloop_n = int(
             os.environ.get("MMUMAP_SPECTRAL_HOSTLOOP_N", 400_000))
-        tracing = isinstance(graph.rows, jax.core.Tracer)
         if n >= hostloop_n and not tracing:
             # Past ~500k the fused while_loop is a multi-minute single
             # dispatch -- over the tunnel's dispatch-duration limit.

@@ -124,3 +124,26 @@ def test_chebyshev_hostloop_matches_fused(rng):
     e0 = np.asarray(_spectral_chebyshev(graph, 8))
     e1 = np.asarray(_spectral_chebyshev_hostloop(graph, 8))
     np.testing.assert_allclose(e0, e1, rtol=2e-4, atol=2e-4)
+
+
+def test_dest_sharded_chebyshev_matches_single_device(rng):
+    """Mesh spectral (destination-bucketed edges, all-gather-only
+    matvec) must reproduce the single-program filter exactly up to
+    per-column sign."""
+    import jax
+
+    from multimodal_umap_tpu.ops.spectral import (
+        _spectral_chebyshev,
+        dest_shard_graph,
+    )
+    from multimodal_umap_tpu.parallel.mesh import DATA_AXIS
+
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), (DATA_AXIS,))
+    graph = _graph(rng, n=512, k=6)
+    e0 = np.asarray(_spectral_chebyshev(graph, 8))
+    dest = dest_shard_graph(graph, mesh, DATA_AXIS)
+    e1 = np.asarray(_spectral_chebyshev(dest, 8))
+    for j in range(8):
+        err = min(np.linalg.norm(e0[:, j] - e1[:, j]),
+                  np.linalg.norm(e0[:, j] + e1[:, j]))
+        assert err < 1e-3, (j, err)
