@@ -78,6 +78,18 @@ def init_parser() -> argparse.Namespace:
                                  "approx", "stream"],
                         help="kNN engine (ops/knn.py; auto = backend "
                              "default: bf16 on TPU, xla on CPU)")
+    parser.add_argument("--feature_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="Feature-table storage dtype (bfloat16 "
+                             "halves HBM; exact re-scored distances)")
+    parser.add_argument("--progress_path", type=str, default=None,
+                        help="Preemption-recovery snapshot file (npz); "
+                             "combine with --resume to continue a run")
+    parser.add_argument("--resume", action="store_true",
+                        help="Resume fit from --progress_path")
+    parser.add_argument("--graph_cache", type=str, default=None,
+                        help="Graph-stage snapshot: a retried fit skips "
+                             "the kNN sweep + spectral init")
     return parser.parse_args()
 
 
@@ -100,6 +112,10 @@ def main() -> None:
         seed=args.seed,
         spectral_method=args.spectral,
         knn_engine=None if args.knn_engine == "auto" else args.knn_engine,
+        feature_dtype=args.feature_dtype,
+        progress_path=args.progress_path,
+        resume=args.resume,
+        graph_cache_path=args.graph_cache,
     )
 
     if args.synthetic:

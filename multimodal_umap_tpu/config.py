@@ -36,6 +36,14 @@ class Config:
         knn_engine: kNN engine (ops/knn.py) -- None = backend default
             (bf16 panel + exact f32 re-score on TPU, f32-highest on
             CPU); or "bf16" / "xla" / "pallas" / "approx" / "stream".
+        feature_dtype: storage dtype of the training feature tables --
+            "bfloat16" halves their HBM (beyond-HBM scales on one
+            chip); distances re-score exactly vs the stored values.
+        progress_path: optimizer-state snapshot file for preemption
+            recovery (models/mixture.py fit/transform/invert).
+        resume: continue from an existing ``progress_path`` snapshot.
+        graph_cache_path: graph-stage snapshot (kNN sweep + spectral
+            init), skipped on retry (models/mixture.py fit).
     """
 
     k_neighbors: int = 15
@@ -54,3 +62,7 @@ class Config:
     seed: int = 0
     spectral_method: str = "auto"
     knn_engine: str | None = None
+    feature_dtype: str = "float32"
+    progress_path: str | None = None
+    resume: bool = False
+    graph_cache_path: str | None = None

@@ -39,6 +39,7 @@ def train(data: dict, cfg: Config, mesh=None,
         mesh=mesh,
         spectral_method=cfg.spectral_method,
         knn_engine=cfg.knn_engine,
+        feature_dtype=getattr(cfg, "feature_dtype", "float32"),
     )
     model.fit(
         tensors,
@@ -48,6 +49,9 @@ def train(data: dict, cfg: Config, mesh=None,
         alpha=cfg.alpha,
         batch_size=cfg.batch_size,
         verbose=verbose,
+        progress_path=getattr(cfg, "progress_path", None),
+        resume=getattr(cfg, "resume", False),
+        graph_cache_path=getattr(cfg, "graph_cache_path", None),
     )
     return model
 

@@ -77,3 +77,35 @@ def test_cli_load_pretrained_roundtrip(tmp_path):
                             cwd=tmp_path, env=env)
     assert second.returncode == 0, second.stderr[-3000:]
     assert "Average cross-modal cosine similarity:" in second.stdout
+
+
+def test_cli_resilience_flags(tmp_path):
+    """--graph_cache / --progress_path / --feature_dtype are wired
+    through Config into fit: the snapshot files appear and a second
+    identical run reuses the graph cache (fast path still produces the
+    metrics lines)."""
+    env = _cpu_env()
+    cache = os.path.join(tmp_path, "graphs.npz")
+    prog = os.path.join(tmp_path, "prog.npz")
+    base = [
+        sys.executable, os.path.join(REPO, "main.py"),
+        "--synthetic", "--n_samples", "96",
+        "--k_neighbors", "5", "--out_dim", "4",
+        "--train_epochs", "10", "--test_epochs", "5",
+        "--num_rep", "2", "--batch_size", "64",
+        "--crossmodal", "no",
+        "--save_path", os.path.join(tmp_path, "m.npz"),
+        "--graph_cache", cache, "--progress_path", prog,
+        "--feature_dtype", "float32",
+        # The pytest parent exports XLA_FLAGS with 8 virtual devices;
+        # the graph cache is single-device by design, so pin the mesh.
+        "--mesh_devices", "1",
+    ]
+    first = subprocess.run(base, capture_output=True, text=True,
+                           timeout=540, cwd=tmp_path, env=env)
+    assert first.returncode == 0, first.stderr[-3000:]
+    assert os.path.exists(cache) and os.path.exists(prog)
+    second = subprocess.run(base + ["--resume"], capture_output=True,
+                            text=True, timeout=540, cwd=tmp_path, env=env)
+    assert second.returncode == 0, second.stderr[-3000:]
+    assert "Average cross-modal cosine similarity:" in second.stdout
