@@ -223,3 +223,44 @@ def test_snapshot_throttle_and_final_save(blobs, tmp_path, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(resumed.embeds[0]), np.asarray(m.embeds[0]),
         rtol=1e-6)
+
+
+def test_beyond_scale_control_flow_composes(blobs, tmp_path, monkeypatch):
+    """The 1M-configuration control flow -- host-chunked kNN sweep,
+    per-round host-loop spectral, small epoch chunks, graph cache +
+    progress snapshots -- must compose: identical graph (the kNN and
+    sigma paths differ only in fp fusion rounding), and a layout of the
+    same quality. Element-wise embedding equality is NOT expected: the
+    ~1e-5 weight rounding between the fused and eager graph tails is
+    enough to rotate near-degenerate spectral eigenvectors."""
+    from multimodal_umap_tpu.eval.trustworthiness import (
+        trustworthiness_sampled,
+    )
+
+    x0, x1, _ = blobs
+    kwargs = dict(num_rep=2, lr=0.05, alpha=0.5, batch_size=64)
+
+    ref = MultimodalUMAP(8, 4, 0.1, num_encoders=2, seed=11)
+    ref.fit([x0, x1], epochs=60, **kwargs)
+
+    monkeypatch.setenv("MMUMAP_SPECTRAL_HOSTLOOP_N", "1")
+    monkeypatch.setenv("MMUMAP_KNN_DISPATCH_FLOPS", "1e4")
+    monkeypatch.setenv("MMUMAP_EPOCH_CHUNK", "5")
+    sim = MultimodalUMAP(8, 4, 0.1, num_encoders=2, seed=11)
+    sim.fit([x0, x1], epochs=60,
+            graph_cache_path=os.path.join(tmp_path, "g.npz"),
+            progress_path=os.path.join(tmp_path, "p.npz"), **kwargs)
+
+    for m in range(2):
+        np.testing.assert_array_equal(
+            np.asarray(sim.graphs[m].rows), np.asarray(ref.graphs[m].rows))
+        np.testing.assert_allclose(
+            np.asarray(sim.graphs[m].weights),
+            np.asarray(ref.graphs[m].weights), rtol=1e-3, atol=1e-4)
+        t_ref = trustworthiness_sampled(ref.data[m], ref.embeds[m], k=8)
+        t_sim = trustworthiness_sampled(sim.data[m], sim.embeds[m], k=8)
+        assert t_sim >= t_ref - 0.02, (m, t_sim, t_ref)
+    loss_ref = float(ref.loss_history["fit"][-1])
+    loss_sim = float(sim.loss_history["fit"][-1])
+    assert abs(loss_sim - loss_ref) <= 0.1 * abs(loss_ref), (
+        loss_sim, loss_ref)
