@@ -147,3 +147,25 @@ def test_dest_sharded_chebyshev_matches_single_device(rng):
         err = min(np.linalg.norm(e0[:, j] - e1[:, j]),
                   np.linalg.norm(e0[:, j] + e1[:, j]))
         assert err < 1e-3, (j, err)
+
+
+def test_dest_sharded_hostloop_via_public_api(rng, monkeypatch):
+    """spectral_embedding(mesh=...) with the host-loop driver forced
+    (the >=400k dispatch-duration guard): the destination-bucketed
+    graph must flow through the per-round program and match the
+    single-device filter up to per-column sign."""
+    import jax
+
+    from multimodal_umap_tpu.ops.spectral import spectral_embedding
+    from multimodal_umap_tpu.parallel.mesh import DATA_AXIS
+
+    monkeypatch.setenv("MMUMAP_SPECTRAL_HOSTLOOP_N", "1")
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), (DATA_AXIS,))
+    graph = _graph(rng, n=512, k=6)
+    e0 = np.asarray(spectral_embedding(graph, 8, method="chebyshev"))
+    e1 = np.asarray(
+        spectral_embedding(graph, 8, method="chebyshev", mesh=mesh))
+    for j in range(8):
+        err = min(np.linalg.norm(e0[:, j] - e1[:, j]),
+                  np.linalg.norm(e0[:, j] + e1[:, j]))
+        assert err < 1e-3, (j, err)
