@@ -4,22 +4,33 @@
 # HBM ceiling), each with crash-resume state under /tmp/mmumap_ladder.
 # ONE TPU process at a time (axon); run this script alone.
 #
+# Each rung retries up to MMUMAP_LADDER_TRIES times (default 3): the
+# run's graph_cache_path + progress_path make retries cheap -- a tunnel
+# death mid-layout resumes from the last epoch chunk instead of
+# restarting, so a flaky link can only delay a rung, not kill it.
+# A rung that prints END-TO-END on an earlier try is not re-run.
+#
 # Usage: bash tools/run_scale_ladder.sh [start_rung]
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/mmumap_ladder
 START="${1:-31744}"
+TRIES="${MMUMAP_LADDER_TRIES:-3}"
 
 run() {
   local n="$1" dtype="$2" timeout_s="$3"
-  local log="/tmp/mmumap_ladder/e2e_${n}.log"
-  echo "=== N=$n dtype=$dtype $(date +%H:%M:%S) -> $log"
-  timeout "$timeout_s" python -u tools/run_flickr_scale_e2e.py \
-    "$n" 1024 "$dtype" "/tmp/mmumap_ladder/resume_${n}" 2>&1 | tee "$log"
-  local rc=${PIPESTATUS[0]}
-  echo "=== N=$n exit=$rc $(date +%H:%M:%S)"
-  # Tunnel sessions need a beat to reap before the next process.
-  sleep 180
+  for try in $(seq 1 "$TRIES"); do
+    local log="/tmp/mmumap_ladder/e2e_${n}_try${try}.log"
+    echo "=== N=$n dtype=$dtype try=$try $(date +%H:%M:%S) -> $log"
+    timeout -k 30 "$timeout_s" python -u tools/run_flickr_scale_e2e.py \
+      "$n" 1024 "$dtype" "/tmp/mmumap_ladder/resume_${n}" 2>&1 | tee "$log"
+    local rc=${PIPESTATUS[0]}
+    echo "=== N=$n try=$try exit=$rc $(date +%H:%M:%S)"
+    # Tunnel sessions need a beat to reap before the next process.
+    sleep 180
+    grep -q "END-TO-END" "$log" && return 0
+  done
+  echo "=== N=$n FAILED after $TRIES tries"
   return 0
 }
 
