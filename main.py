@@ -161,6 +161,7 @@ def main() -> None:
             k_test=args.k_test,
             data_arrays=[train_split[k] for k in keys],
             mesh=mesh,
+            feature_dtype=args.feature_dtype,
         )
         model = train(train_split, cfg, mesh=mesh, verbose=True)
         write_loss_log(cfg.log_dir, "fit", model.loss_history["fit"])

@@ -56,6 +56,7 @@ def start_eval_prewarm(
     data_arrays: typing.Sequence[jax.Array] | None = None,
     force: bool = False,
     mesh=None,
+    feature_dtype: str = "float32",
 ) -> threading.Thread | None:
     """Starts a daemon thread that warms every eval-phase executable.
 
@@ -84,6 +85,12 @@ def start_eval_prewarm(
             fit uses, so the warmed executables carry the run's
             shardings -- mesh runs no longer re-pay the ~10 s eval
             first-call cost (VERDICT r2 next-step 7).
+        feature_dtype: the run's feature storage dtype. Executables are
+            keyed on it (a bf16 table routes kNN differently), and a
+            ``"bfloat16"`` run's tables were stored bf16 precisely
+            because the f32 copy does not fit -- forging f32 here would
+            both warm dead programs and allocate that copy next to the
+            fit's working set.
     """
     from ..models.mixture import MultimodalUMAP
     from .validation import embed_and_recon, knn_test, similarity_test
@@ -119,7 +126,10 @@ def start_eval_prewarm(
                 cfg.k_neighbors, cfg.out_dim, cfg.min_dist, num_encoders=m,
                 seed=seed, mesh=mesh,
                 knn_engine=getattr(cfg, "knn_engine", None),
+                feature_dtype=feature_dtype,
             )
+            tgt = (jnp.bfloat16 if feature_dtype == "bfloat16"
+                   else jnp.float32)
             # Forged state must carry the run's placements: executables
             # are keyed on input shardings, so a replicated dummy would
             # warm programs a mesh run never calls. Same helper the
@@ -135,16 +145,17 @@ def start_eval_prewarm(
             # Forge shape-identical fitted state (values irrelevant --
             # executables are keyed on shapes + static config only).
             if data_arrays is not None:
-                # jnp.asarray: aliases device f32 arrays (no copy);
-                # uploads host arrays once.
-                model.data = [rows(jnp.asarray(x, dtype=jnp.float32))
+                # jnp.asarray: aliases device arrays already in the
+                # storage dtype (no copy); uploads host arrays once.
+                model.data = [rows(jnp.asarray(x, dtype=tgt))
                               for x in data_arrays]
             else:
                 model.data = [
                     rows(jax.random.normal(keys[i], (n_train, d),
-                                           dtype=jnp.float32))
+                                           dtype=jnp.float32).astype(tgt))
                     for i, d in enumerate(dims)
                 ]
+            status["data_dtypes"] = [str(x.dtype) for x in model.data]
             model.embeds = [
                 rows(jax.random.normal(keys[m + i], (n_train, cfg.out_dim),
                                        dtype=jnp.float32))

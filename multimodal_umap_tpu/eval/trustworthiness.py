@@ -28,7 +28,10 @@ def _trust_from_ranks(orig_ranks: jax.Array, emb_nbrs: jax.Array, k: int):
     # (0 = nearest non-self neighbor).
     ranks_of_emb = jnp.take_along_axis(orig_ranks, emb_nbrs, axis=1)
     penalty = jnp.maximum(ranks_of_emb - (k - 1), 0)  # 0 if within top-k
-    total = jnp.sum(penalty)
+    # f32 accumulation: int32 wraps past ~2^31 total penalty, which a
+    # large-n LOW-quality embedding reaches (mean rank ~n/2) -- the
+    # score would then read > 1.0 and PASS the very gate it should trip.
+    total = jnp.sum(penalty.astype(jnp.float32))
     denom = n * k * (2 * n - 3 * k - 1)
     return 1.0 - 2.0 * total / denom
 
@@ -64,7 +67,6 @@ def _trust_rows(x_s, x, e_s, e, rows, k):
     its k embedding-space neighbors; self-matches are masked via
     ``rows``.
     """
-    s = x_s.shape[0]
     n = x.shape[0]
     d_o = (
         jnp.sum(x_s * x_s, 1)[:, None]
@@ -88,7 +90,10 @@ def _trust_rows(x_s, x, e_s, e, rows, k):
     _, emb_nbrs = jax.lax.top_k(-d_e, k)  # (s, k)
     ranks_of_emb = jnp.take_along_axis(orig_ranks, emb_nbrs, axis=1)
     penalty = jnp.maximum(ranks_of_emb - (k - 1), 0)
-    return jnp.sum(penalty) / s
+    # f32 sum: see _trust_from_ranks (int32 wraps on large-n garbage
+    # embeddings, inverting the quality gate). Returns the block SUM;
+    # the caller divides by the total sample count.
+    return jnp.sum(penalty.astype(jnp.float32))
 
 
 def trustworthiness_sampled(
@@ -97,6 +102,7 @@ def trustworthiness_sampled(
     k: int = 10,
     sample_rows: int = 4096,
     seed: int = 0,
+    row_block: int | None = None,
 ) -> float:
     """Unbiased row-sampled estimate of :func:`trustworthiness`.
 
@@ -116,6 +122,16 @@ def trustworthiness_sampled(
     rows = jax.random.choice(
         jax.random.PRNGKey(seed), n, (sample_rows,), replace=False
     )
-    mean_penalty = _trust_rows(x[rows], x, e[rows], e, rows, k)
+    # Anchor rows go through in BLOCKS: one (sample_rows, n) program
+    # keeps two f32 distance panels plus two int32 argsort outputs
+    # alive at once -- ~4 GB x 4 at n=262k, OOM at the beyond-flickr
+    # scales this estimator exists for. The default block caps each
+    # panel at ~256 MB; at the 31k bench scale this is 2 dispatches.
+    block = row_block or max(64, (1 << 26) // max(n, 1))
+    total = 0.0
+    for lo in range(0, sample_rows, block):
+        blk = rows[lo:lo + block]
+        total += float(_trust_rows(x[blk], x, e[blk], e, blk, k))
+    mean_penalty = total / sample_rows
     denom = k * (2 * n - 3 * k - 1)
     return float(1.0 - 2.0 * mean_penalty / denom)

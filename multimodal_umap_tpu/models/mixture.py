@@ -15,6 +15,8 @@ step per epoch, and state round-trips through npz.
 
 from __future__ import annotations
 
+import warnings
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -281,11 +283,21 @@ class MultimodalUMAP:
 
         cached = None
         fingerprints = None
+        if graph_cache_path is not None and plan is not None:
+            # Cached arrays are host-layout; reloading them under a mesh
+            # would need resharding logic no caller exercises yet. Say
+            # so instead of silently re-paying the graph phase on every
+            # mesh retry.
+            warnings.warn(
+                "graph_cache_path is ignored on mesh runs -- the graph "
+                "phase will rebuild on every retry", stacklevel=2)
         if graph_cache_path is not None and plan is None:
             fingerprints = [ckpt.feature_fingerprint(x) for x in self.data]
             cached = ckpt.load_graph_cache(
                 graph_cache_path, k_neighbors=self.k_neighbors,
-                out_dim=self.out_dim, fingerprints=fingerprints)
+                out_dim=self.out_dim,
+                spectral_method=self.spectral_method,
+                fingerprints=fingerprints)
         if cached is not None:
             graphs, denses, inits = (cached["graphs"], cached["denses"],
                                      cached["inits"])
@@ -315,7 +327,9 @@ class MultimodalUMAP:
                 with self.timer.phase("fit/graph_cache_save"):
                     ckpt.save_graph_cache(
                         graph_cache_path, k_neighbors=self.k_neighbors,
-                        out_dim=self.out_dim, graphs=graphs,
+                        out_dim=self.out_dim,
+                        spectral_method=self.spectral_method,
+                        graphs=graphs,
                         denses=denses, inits=inits,
                         sigmas=[e.sigmas for e in self.encoders],
                         rhos=[e.rhos for e in self.encoders],

@@ -267,7 +267,17 @@ def knn(
         (Q, k) int32 reference indices.
     """
     engine = resolve_engine(engine)
-    if engine == "pallas" and jax.default_backend() == "tpu":
+    bf16_stored = (
+        getattr(queries, "dtype", None) == jnp.bfloat16
+        or getattr(references, "dtype", None) == jnp.bfloat16
+    )
+    if (engine == "pallas" and jax.default_backend() == "tpu"
+            and not bf16_stored):
+        # bf16-STORED tables skip the Pallas kernel: it upcasts both
+        # tables to f32, materializing exactly the full-size copies
+        # feature_dtype="bfloat16" exists to avoid -- they route
+        # through the streamed rank+rescore path like every other
+        # engine value.
         from .knn_pallas import knn_pallas
 
         return knn_pallas(queries, references, k, exclude_self=exclude_self)
@@ -279,12 +289,10 @@ def knn(
     # loop would spend more time on round-trips than on math. The
     # streamed sweep degrades gracefully to a single panel at small
     # sizes. engine="xla" keeps flat per-block dispatches below the
-    # ~4 GiB panel threshold (its panels are f32-highest either way)
-    # and streams above it.
-    bf16_stored = (
-        getattr(queries, "dtype", None) == jnp.bfloat16
-        or getattr(references, "dtype", None) == jnp.bfloat16
-    )
+    # ~4 GiB panel threshold and streams above it -- WITHOUT switching
+    # rank precision: an explicit "xla" is the exact-f32-highest
+    # isolation baseline the bf16 path is validated against, so its
+    # streamed panels stay f32 at every size.
     panel_bytes = 4 * row_block * references.shape[0]
     if bf16_stored or engine in ("bf16", "stream") or (
         engine == "xla" and panel_bytes > 4 * 1024**3
@@ -293,8 +301,9 @@ def knn(
 
         # engine="stream" keeps bf16 ranking on TPU (f32 elsewhere);
         # MMUMAP_STREAM_F32=1 forces f32-highest panels for isolation.
-        bf16 = engine == "bf16" or (
-            jax.default_backend() == "tpu"
+        bf16 = bf16_stored or engine == "bf16" or (
+            engine == "stream"
+            and jax.default_backend() == "tpu"
             and os.environ.get("MMUMAP_STREAM_F32", "") != "1"
         )
         return knn_streamed(

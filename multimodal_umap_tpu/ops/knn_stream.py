@@ -239,7 +239,8 @@ def _rescore_topk(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "exclude_self", "row_block", "col_block", "bf16"),
+    static_argnames=("k", "exclude_self", "row_block", "col_block", "bf16",
+                     "num_valid_cols"),
 )
 def _streamed_fused(
     q: jax.Array,

@@ -100,8 +100,8 @@ def feature_fingerprint(feats) -> int:
 
 
 def save_graph_cache(path: str, *, k_neighbors: int, out_dim: int,
-                     graphs, denses, inits, sigmas, rhos,
-                     fingerprints) -> None:
+                     spectral_method: str, graphs, denses, inits,
+                     sigmas, rhos, fingerprints) -> None:
     """Phase-level snapshot of fit's graph stage (kNN sweep + fuzzy
     weights + symmetrization + spectral init).
 
@@ -121,6 +121,7 @@ def save_graph_cache(path: str, *, k_neighbors: int, out_dim: int,
         "kind": "graph_cache",
         "k_neighbors": int(k_neighbors),
         "out_dim": int(out_dim),
+        "spectral_method": str(spectral_method),
         "num_encoders": m,
         "graph_shapes": [[g.num_rows, g.num_cols] for g in graphs],
         "fingerprints": [int(f) for f in fingerprints],
@@ -151,7 +152,7 @@ def save_graph_cache(path: str, *, k_neighbors: int, out_dim: int,
 
 
 def load_graph_cache(path: str, *, k_neighbors: int, out_dim: int,
-                     fingerprints) -> dict | None:
+                     spectral_method: str, fingerprints) -> dict | None:
     """Loads a :func:`save_graph_cache` snapshot, or None when the file
     is absent or was written for different data/hyperparameters (the
     caller then rebuilds and overwrites). Edge lists stay host-side
@@ -166,6 +167,10 @@ def load_graph_cache(path: str, *, k_neighbors: int, out_dim: int,
         if (meta.get("kind") != "graph_cache"
                 or meta["k_neighbors"] != int(k_neighbors)
                 or meta["out_dim"] != int(out_dim)
+                # The cached init_* arrays are the spectral stage's
+                # output: a different requested method must rebuild,
+                # not silently serve the old method's subspace.
+                or meta.get("spectral_method") != str(spectral_method)
                 or meta["fingerprints"] != [int(f) for f in fingerprints]):
             return None
         m = meta["num_encoders"]

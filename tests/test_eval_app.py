@@ -184,3 +184,21 @@ def test_eval_prewarm_skips_on_cpu_and_validates_data(fitted_model, cfg):
             data_arrays=[data["images"], data["texts"]],  # reversed
             force=True,
         )
+
+
+def test_eval_prewarm_respects_feature_dtype(fitted_model, cfg):
+    """A bfloat16 run's prewarm must forge bf16 tables: f32 forgeries
+    would warm executables the real eval never calls AND materialize
+    the full-size f32 copy that feature_dtype exists to avoid."""
+    from multimodal_umap_tpu.eval import start_eval_prewarm
+
+    model, data = fitted_model
+    thread = start_eval_prewarm(
+        n_train=160, dims=(20, 4096), cfg=cfg, q_main=48, q_recon=4,
+        k_test=5, data_arrays=[data["texts"], data["images"]],
+        force=True, feature_dtype="bfloat16",
+    )
+    thread.join(timeout=600)
+    assert not thread.is_alive()
+    assert thread.prewarm_status["error"] is None
+    assert thread.prewarm_status["data_dtypes"] == ["bfloat16", "bfloat16"]

@@ -204,3 +204,22 @@ def test_ring_preserves_bf16_storage(rng):
     np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
     np.testing.assert_allclose(np.asarray(d0), np.asarray(d1),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_streamed_dispatch_budget_chunking_bf16(rng, monkeypatch):
+    """Chunked sweep with bf16 ranking: the chunk loop passes the true
+    reference count into the fused program as a STATIC argument -- as a
+    traced value it reached _candidate_width's Python min() and crashed
+    every over-budget bf16 run (the default TPU engine at scale)."""
+    x = jnp.asarray(rng.normal(size=(300, 16)).astype(np.float32))
+    d0, i0 = knn_streamed(x, x, 7, exclude_self=True,
+                          row_block=64, col_block=64, bf16=False)
+    monkeypatch.setenv("MMUMAP_KNN_DISPATCH_FLOPS", "4e5")
+    d1, i1 = knn_streamed(x, x, 7, exclude_self=True,
+                          row_block=64, col_block=64, bf16=True)
+    # bf16 ranks a widened candidate set, then re-scores exactly: ids
+    # must match the f32 sweep and distances are exact to f32 rounding.
+    np.testing.assert_array_equal(np.sort(np.asarray(i0), axis=1),
+                                  np.sort(np.asarray(i1), axis=1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1),
+                               rtol=1e-5, atol=1e-5)

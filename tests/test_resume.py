@@ -264,3 +264,44 @@ def test_beyond_scale_control_flow_composes(blobs, tmp_path, monkeypatch):
     loss_sim = float(sim.loss_history["fit"][-1])
     assert abs(loss_sim - loss_ref) <= 0.1 * abs(loss_ref), (
         loss_sim, loss_ref)
+
+
+def test_graph_cache_rejects_mismatched_spectral_method(blobs, tmp_path):
+    """The cached init_* arrays are one spectral method's output; a run
+    requesting a different method must rebuild, not silently reuse the
+    old subspace (--spectral lobpcg after a chebyshev-cached run)."""
+    x0, x1, _ = blobs
+    kwargs = dict(num_rep=2, lr=0.05, alpha=0.5, batch_size=64)
+    cache = os.path.join(tmp_path, "graphs.npz")
+
+    a = MultimodalUMAP(8, 4, 0.1, num_encoders=2, seed=5,
+                       spectral_method="auto")
+    a.fit([x0, x1], epochs=5, graph_cache_path=cache, **kwargs)
+
+    b = MultimodalUMAP(8, 4, 0.1, num_encoders=2, seed=5,
+                       spectral_method="dense")
+    b.fit([x0, x1], epochs=5, graph_cache_path=cache, **kwargs)
+    assert "fit/graph_0" in b.timer.report()  # rebuilt, not loaded
+
+    c = MultimodalUMAP(8, 4, 0.1, num_encoders=2, seed=5,
+                       spectral_method="dense")
+    c.fit([x0, x1], epochs=5, graph_cache_path=cache, **kwargs)
+    assert "fit/graph_0" not in c.timer.report()  # rewritten cache hits
+
+
+def test_graph_cache_warns_and_is_ignored_on_mesh(blobs, tmp_path):
+    """Mesh runs do not support the graph cache; that must be a visible
+    warning (and a normal fit), not a silent no-op."""
+    import pytest
+
+    from multimodal_umap_tpu.parallel.mesh import create_mesh
+
+    x0, x1, _ = blobs
+    cache = os.path.join(tmp_path, "graphs.npz")
+    model = MultimodalUMAP(8, 4, 0.1, num_encoders=2, seed=5,
+                           mesh=create_mesh(8))
+    with pytest.warns(UserWarning, match="graph_cache_path is ignored"):
+        model.fit([x0, x1], epochs=5, num_rep=2, lr=0.05, alpha=0.5,
+                  batch_size=64, graph_cache_path=cache)
+    assert not os.path.exists(cache)
+    assert len(model.embeds) == 2

@@ -205,8 +205,21 @@ def test_mesh_fit_graph_rides_ring_and_matches_single_device(rng):
     enc_mesh = ModalityEncoder(10, 4)
     g1, dense1, _ = enc_mesh.fit_graph(x, mesh=mesh)
 
-    np.testing.assert_array_equal(np.asarray(dense0.nbrs),
-                                  np.asarray(dense1.nbrs))
+    # Id equality up to f32 rounding-order ties: the ring and the
+    # single-device panel sum distances in different orders, so two
+    # references that are equidistant-within-rounding at the k-th
+    # boundary can legitimately swap (observed: 4/10240 ids on some
+    # draws). Any id that differs must be such a tie -- its true
+    # (float64) distance must match the replaced neighbor's.
+    n0 = np.asarray(dense0.nbrs)
+    n1 = np.asarray(dense1.nbrs)
+    xs = np.asarray(x, dtype=np.float64)
+    mism = n0 != n1
+    assert mism.mean() < 1e-3, f"{mism.sum()} ids differ"
+    for r, c in zip(*np.nonzero(mism)):
+        d_a = np.linalg.norm(xs[n0[r, c]] - xs[r])
+        d_b = np.linalg.norm(xs[n1[r, c]] - xs[r])
+        assert abs(d_a - d_b) <= 1e-5 * (1.0 + d_a), (r, c, d_a, d_b)
     np.testing.assert_allclose(np.asarray(dense0.weights),
                                np.asarray(dense1.weights),
                                rtol=1e-4, atol=1e-5)

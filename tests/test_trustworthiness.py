@@ -72,3 +72,38 @@ def test_sampled_estimator_matches_exact(rng):
         pytest.approx(exact, abs=1e-6)
     est = trustworthiness_sampled(x, emb, k=6, sample_rows=64, seed=1)
     assert est == pytest.approx(exact, abs=0.05)
+
+
+def test_sampled_estimator_row_blocks_are_equivalent(rng):
+    """Blocked anchor-row sweep == one-shot sweep (same rows, same sum).
+
+    The blocks exist so the (S, n) panels stay device-sized at
+    beyond-flickr n; they must not change the estimate.
+    """
+    from multimodal_umap_tpu.eval.trustworthiness import (
+        trustworthiness_sampled,
+    )
+
+    x = rng.normal(size=(150, 8)).astype(np.float32)
+    emb = rng.normal(size=(150, 2)).astype(np.float32)
+    one = trustworthiness_sampled(x, emb, k=6, sample_rows=96, seed=3,
+                                  row_block=96)
+    # 96 rows in blocks of 17: five full blocks + one ragged remainder.
+    blocked = trustworthiness_sampled(x, emb, k=6, sample_rows=96, seed=3,
+                                      row_block=17)
+    assert blocked == pytest.approx(one, abs=1e-6)
+
+
+def test_penalty_sum_accumulates_in_float32(rng):
+    """int32 penalty sums wrap past 2^31 (reachable for large-n garbage
+    embeddings, flipping the quality gate); the sum must be f32."""
+    import jax.numpy as jnp
+
+    from multimodal_umap_tpu.eval.trustworthiness import _trust_rows
+
+    x = rng.normal(size=(64, 4)).astype(np.float32)
+    emb = rng.normal(size=(64, 2)).astype(np.float32)
+    rows = jnp.arange(16)
+    out = _trust_rows(jnp.asarray(x)[rows], jnp.asarray(x),
+                      jnp.asarray(emb)[rows], jnp.asarray(emb), rows, 6)
+    assert out.dtype == jnp.float32

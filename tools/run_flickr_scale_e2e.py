@@ -90,9 +90,12 @@ def main():
     # Returns None (skipped) on CPU or under MMUMAP_PREWARM=0.
     prewarm = None
     if feature_dtype == "float32":
-        # bf16 runs skip the prewarm: the forged f32 state would warm
-        # programs keyed on dtypes the real eval never calls, and the
-        # beyond-HBM scales it serves have no room for a second table.
+        # bf16 runs skip the prewarm (conservatively): prewarm now
+        # forges dtype-correct state (eval/prewarm.py feature_dtype),
+        # but its forged embeds + warm-up dispatches race the fit on a
+        # chip whose HBM headroom at the beyond-f32 scales bf16 serves
+        # is exactly what the run is spending. ~10 s of first-call eval
+        # cost is the accepted trade at 524k+.
         prewarm = start_eval_prewarm(
             n_train=n_train, dims=(768, 4096), cfg=cfg, q_main=n_test,
             q_recon=16, k_test=1,
