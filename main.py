@@ -148,21 +148,26 @@ def main() -> None:
         # keeps the device busy (eval/prewarm.py; returns None --
         # skipped -- on CPU or under MMUMAP_PREWARM=0). Mesh runs pass
         # the mesh so the forged state carries the run's shardings
-        # (VERDICT r2 next-step 7).
-        from multimodal_umap_tpu.eval import start_eval_prewarm
+        # (VERDICT r2 next-step 7). bfloat16 runs skip it: the worker
+        # uploads a second full bf16 copy of every modality table next
+        # to fit's working set, and HBM headroom at the beyond-f32
+        # scales bf16 serves is exactly what the run is spending (same
+        # gate as tools/run_flickr_scale_e2e.py).
+        if args.feature_dtype == "float32":
+            from multimodal_umap_tpu.eval import start_eval_prewarm
 
-        keys = list(train_split)
-        prewarm = start_eval_prewarm(
-            n_train=int(train_split[keys[0]].shape[0]),
-            dims=tuple(int(train_split[k].shape[1]) for k in keys),
-            cfg=cfg,
-            q_main=int(test_split[keys[0]].shape[0]),
-            q_recon=16,
-            k_test=args.k_test,
-            data_arrays=[train_split[k] for k in keys],
-            mesh=mesh,
-            feature_dtype=args.feature_dtype,
-        )
+            keys = list(train_split)
+            prewarm = start_eval_prewarm(
+                n_train=int(train_split[keys[0]].shape[0]),
+                dims=tuple(int(train_split[k].shape[1]) for k in keys),
+                cfg=cfg,
+                q_main=int(test_split[keys[0]].shape[0]),
+                q_recon=16,
+                k_test=args.k_test,
+                data_arrays=[train_split[k] for k in keys],
+                mesh=mesh,
+                feature_dtype=args.feature_dtype,
+            )
         model = train(train_split, cfg, mesh=mesh, verbose=True)
         write_loss_log(cfg.log_dir, "fit", model.loss_history["fit"])
 

@@ -301,7 +301,9 @@ def knn(
 
         # engine="stream" keeps bf16 ranking on TPU (f32 elsewhere);
         # MMUMAP_STREAM_F32=1 forces f32-highest panels for isolation.
-        bf16 = bf16_stored or engine == "bf16" or (
+        # bf16-stored tables need no term here: knn_streamed forces
+        # bf16 ranking itself whenever either input is stored bf16.
+        bf16 = engine == "bf16" or (
             engine == "stream"
             and jax.default_backend() == "tpu"
             and os.environ.get("MMUMAP_STREAM_F32", "") != "1"

@@ -397,7 +397,7 @@ def knn_ring(
     num_valid_cols: int | None = None,
     rescore_chunk: int = 512,
     lower_only: bool = False,
-) -> tuple[jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array] | str:
     """Exact kNN with the reference table ring-sharded over the mesh.
 
     Queries and references must both have row counts divisible by the

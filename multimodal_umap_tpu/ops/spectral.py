@@ -124,10 +124,14 @@ def _degrees(graph) -> jax.Array:
 _EDGE_BLOCK = 4 * 1024 * 1024
 
 
-def _edge_apply(rows, cols, w, y, num_rows: int) -> jax.Array:
+def _edge_apply(rows, cols, w, y, num_rows: int,
+                vma_axis: str | None = None) -> jax.Array:
     """segment_sum(w * y[cols] -> rows) blocked over edges above
     ``_EDGE_BLOCK`` so the (edges, B) gather transient stays constant
-    in N. Weights must already be zeroed where invalid/padded."""
+    in N. Weights must already be zeroed where invalid/padded.
+    ``vma_axis``: when called inside a shard_map body over that axis,
+    the blocked path's zero scan carry must be marked varying to match
+    the per-shard segment_sum output."""
     num_e = rows.shape[0]
     if num_e <= _EDGE_BLOCK:
         scaled = y[cols] * w[:, None]
@@ -149,8 +153,12 @@ def _edge_apply(rows, cols, w, y, num_rows: int) -> jax.Array:
         return acc + jax.ops.segment_sum(
             scaled, rows_b, num_segments=num_rows), None
 
-    acc, _ = jax.lax.scan(
-        step, jnp.zeros_like(y), starts)
+    # NOT zeros_like(y): under DestShardedGraph the output has num_rows
+    # = N/P local rows while y is the all-gathered (N, B) block.
+    init = jnp.zeros((num_rows, y.shape[1]), y.dtype)
+    if vma_axis is not None:
+        init = jax.lax.pcast(init, (vma_axis,), to="varying")
+    acc, _ = jax.lax.scan(step, init, starts)
     return acc
 
 
@@ -167,7 +175,8 @@ def _adjacency_apply(graph, y: jax.Array) -> jax.Array:
         def body(rows_b, cols_b, w_b, y_shard):
             y_full = jax.lax.all_gather(y_shard, axis, axis=0, tiled=True)
             return _edge_apply(
-                rows_b[0], cols_b[0], w_b[0], y_full, rows_per)
+                rows_b[0], cols_b[0], w_b[0], y_full, rows_per,
+                vma_axis=axis)
 
         return jax.shard_map(
             body, mesh=graph.mesh,

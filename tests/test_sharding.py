@@ -277,3 +277,36 @@ def test_ring_ok_guardrails():
     assert _ring_ok(mesh, 64)
     assert not _ring_ok(mesh, 63)   # indivisible -> replicated fallback
     assert not _ring_ok(None, 64)   # no mesh
+
+
+def test_mesh_fit_with_bf16_features(blobs):
+    """Mesh sharding x bf16 feature storage -- the exact configuration
+    a multi-chip beyond-HBM run uses (ring kNN keeps bf16 on the wire,
+    knn_stream.py _stored): tables stay bf16 AND row-sharded, the full
+    lifecycle stays finite, and layout quality holds."""
+    x0, x1, labels = blobs
+    mesh = create_mesh()
+    model = MultimodalUMAP(8, 4, 0.1, num_encoders=2, mesh=mesh,
+                           feature_dtype="bfloat16")
+    model.fit([x0, x1], epochs=30, num_rep=2, lr=0.05, alpha=0.5,
+              batch_size=64)
+    for d in model.data:
+        assert d.dtype == jnp.bfloat16
+        assert not d.sharding.is_fully_replicated
+    assert model.embeds[0].dtype == jnp.float32
+    assert not model.embeds[0].sharding.is_fully_replicated
+    assert np.all(np.isfinite(model.loss_history["fit"]))
+
+    emb = np.asarray(model.embeds[0])
+    d = np.linalg.norm(emb[:, None] - emb[None, :], axis=2)
+    same = labels[:, None] == labels[None, :]
+    off_diag = ~np.eye(len(labels), dtype=bool)
+    assert d[same & off_diag].mean() < 0.7 * d[~same].mean()
+
+    out = model.transform([x0[:16]], epochs=5, data_indices=[0],
+                          num_rep=2, lr=0.05, batch_size=64)
+    assert np.all(np.isfinite(np.asarray(out[0])))
+    rec = model.inverse_transform([out[0]], epochs=5, data_indices=[0],
+                                  num_rep=2, lr=0.05, batch_size=64)
+    assert rec[0].shape == (16, x0.shape[1])
+    assert np.all(np.isfinite(np.asarray(rec[0])))

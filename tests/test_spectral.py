@@ -149,6 +149,35 @@ def test_dest_sharded_chebyshev_matches_single_device(rng):
         assert err < 1e-3, (j, err)
 
 
+def test_dest_sharded_blocked_edges_matches_single_device(rng):
+    """Regression: the edge-blocked matvec under DestShardedGraph must
+    accumulate into (N/P, B) local rows, not zeros_like the all-gathered
+    (N, B) block -- engage the blocked path on the mesh at small N."""
+    import jax
+
+    from multimodal_umap_tpu.ops import spectral as S
+    from multimodal_umap_tpu.ops.spectral import (
+        _spectral_chebyshev,
+        dest_shard_graph,
+    )
+    from multimodal_umap_tpu.parallel.mesh import DATA_AXIS
+
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), (DATA_AXIS,))
+    graph = _graph(rng, n=512, k=6)
+    e0 = np.asarray(_spectral_chebyshev(graph, 8))
+    dest = dest_shard_graph(graph, mesh, DATA_AXIS)
+    old = S._EDGE_BLOCK
+    S._EDGE_BLOCK = 256  # per-shard padded edges exceed this -> scan path
+    try:
+        e1 = np.asarray(_spectral_chebyshev(dest, 8))
+    finally:
+        S._EDGE_BLOCK = old
+    for j in range(8):
+        err = min(np.linalg.norm(e0[:, j] - e1[:, j]),
+                  np.linalg.norm(e0[:, j] + e1[:, j]))
+        assert err < 1e-3, (j, err)
+
+
 def test_dest_sharded_hostloop_via_public_api(rng, monkeypatch):
     """spectral_embedding(mesh=...) with the host-loop driver forced
     (the >=400k dispatch-duration guard): the destination-bucketed
