@@ -268,6 +268,12 @@ def _fit_modality_loss(
         neg = jnp.roll(permuted, -off, axis=0)
         return acc + L.umap_rep(embed, neg, a, b), None
 
+    # Remat: without it the scan saves each round's rolled (N, D) table
+    # and elementwise residuals for the backward -- ~5.3 GiB of XLA
+    # temps at N=524k (tools/probe_layout_memory.py ablation); with it
+    # one round's transients are live at a time.
+    fold_neg = jax.checkpoint(fold_neg)
+
     # Distinct per-round roll offsets via disjoint strata: round r draws
     # uniformly inside its own stride-s stratum, then a shared uniform
     # rotation makes every round's marginal uniform over [0, n). Two

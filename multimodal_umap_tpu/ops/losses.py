@@ -134,13 +134,20 @@ def infonce(
     # == roll(permuted_1, -off_c). Rolling the ONCE-normalized table
     # instead of gathering (num, n_neg+1, D) copies keeps the backward a
     # roll (dynamic-slice VJP) -- no (num*(n_neg+1), D) scatter-add, and
-    # the normalize runs once instead of n_neg+1 times.
+    # the normalize runs once instead of n_neg+1 times. The columns are
+    # scanned with rematerialization rather than stacked: materializing
+    # all n_neg+1 rolled (num, D) tables forward AND their roll-back
+    # cotangents backward costs ~9.5 GiB of XLA temps per direction at
+    # num=524k (measured, tools/probe_infonce_memory.py) -- the scan
+    # keeps exactly one rolled copy live in each direction.
     normed_1 = _l2_normalize(permuted_1)
-    neg_sim = jnp.stack(
-        [jnp.sum(anchors * jnp.roll(normed_1, -offsets[c], axis=0), axis=1)
-         for c in range(n_neg + 1)],
-        axis=1,
-    ) / temperature
+
+    def _col(_, off):
+        s = jnp.sum(anchors * jnp.roll(normed_1, -off, axis=0), axis=1)
+        return None, s
+
+    _, neg_cols = jax.lax.scan(jax.checkpoint(_col), None, offsets)
+    neg_sim = neg_cols.T / temperature  # (num, n_neg+1)
     neg_sim = jnp.where(not_self, neg_sim, -jnp.inf)
 
     logits = jnp.concatenate([pos_sim[:, None], neg_sim], axis=1)
