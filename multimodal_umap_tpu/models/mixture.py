@@ -34,6 +34,14 @@ from .layout import fit_task, query_task, train_layout
 # during the layout phase (see fit); 2Nk at N=524288, k=15.
 _GRAPH_OFFLOAD_EDGES = 2 * 524288 * 15
 
+# Past this many total feature-table bytes, fit() parks the tables on
+# host for the layout phase: the fit layout never reads features, and
+# at 524k+ the resident tables (5.1 GiB bf16 at 524k, 10.2 GiB at 1M)
+# plus the epoch program's ~9 GiB of temps overcommit the 16 GiB chip
+# (tools/probe_layout_memory.py). transform/invert re-upload lazily on
+# first use, after the layout transients are gone.
+_DATA_OFFLOAD_BYTES = 2 << 30
+
 
 def _as_f32(x) -> jax.Array:
     # jax arrays stay on device (this host has a single slow vCPU --
@@ -335,6 +343,8 @@ class MultimodalUMAP:
                         rhos=[e.rhos for e in self.encoders],
                         fingerprints=fingerprints)
         self.graphs = graphs
+        if plan is None:
+            self._offload_features()
 
         tasks, statics = zip(
             *(fit_task(d, batch_size) for d in denses)
@@ -428,7 +438,7 @@ class MultimodalUMAP:
             if plan is not None:
                 q = plan.rows(q)
             nbrs, weights, init = enc.transform_graph(
-                q, self.data[enc_idx], self.embeds[enc_idx],
+                q, self._data_dev(enc_idx), self.embeds[enc_idx],
                 mesh=self.mesh,
             )
             weights = self._mask_padded(weights, n_q)
@@ -516,7 +526,7 @@ class MultimodalUMAP:
             nbrs, weights, init = enc.invert_graph(
                 z,
                 self.embeds[enc_idx],
-                self.data[enc_idx],
+                self._data_dev(enc_idx),
                 self.a,
                 self.b,
                 mesh=self.mesh,
@@ -526,7 +536,7 @@ class MultimodalUMAP:
                 nbrs,
                 weights,
                 batch_size,
-                ref=self.data[enc_idx],
+                ref=self._data_dev(enc_idx),
                 sigmas=enc.sigmas,
                 rhos=enc.rhos,
             )
@@ -674,6 +684,34 @@ class MultimodalUMAP:
     def _require_fitted(self) -> None:
         if self.data is None or not self.embeds:
             raise RuntimeError("model is not fitted; call fit() first")
+
+    def _offload_features(self) -> None:
+        """Moves the feature tables to host past _DATA_OFFLOAD_BYTES.
+
+        Called after the graph phase, whose kNN sweep is the last fit
+        consumer of the tables; frees their HBM for the layout epochs.
+        Single-device only (mesh runs hold 1/P of each table per chip).
+        """
+        if self.data is None:
+            return
+        total = sum(
+            x.size * x.dtype.itemsize for x in self.data
+            if isinstance(x, jax.Array)
+        )
+        if total >= _DATA_OFFLOAD_BYTES:
+            self.data = [
+                np.asarray(x) if isinstance(x, jax.Array) else x
+                for x in self.data
+            ]
+
+    def _data_dev(self, i: int) -> jax.Array:
+        """Device copy of feature table ``i``, re-cached on device (the
+        inverse of :meth:`_offload_features`; a no-op when resident)."""
+        x = self.data[i]
+        if not isinstance(x, jax.Array):
+            x = jnp.asarray(x)
+            self.data[i] = x
+        return x
 
 
 # Reference-compatible alias (reference impl/model.py:280).

@@ -195,3 +195,44 @@ def test_feature_dtype_bf16_full_lifecycle(blobs, tmp_path):
 def test_feature_dtype_validation():
     with pytest.raises(ValueError, match="feature_dtype"):
         MultimodalUMAP(5, 2, 0.1, num_encoders=1, feature_dtype="fp8")
+
+
+def test_feature_offload_lifecycle(blobs, monkeypatch, tmp_path):
+    """Beyond-HBM fits park the feature tables on host for the layout
+    phase (mixture._offload_features); transform/invert re-upload
+    lazily and the checkpoint still persists the tables. Exercised by
+    dropping the byte threshold to zero."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_umap_tpu.models import mixture as MX
+
+    monkeypatch.setattr(MX, "_DATA_OFFLOAD_BYTES", 0)
+    x0, x1, labels = blobs
+    model = MultimodalUMAP(10, 4, 0.1, num_encoders=2)
+    model.fit([x0, x1], epochs=60, num_rep=4, lr=0.05, alpha=0.5,
+              batch_size=64)
+    # Tables were offloaded after the graph phase.
+    assert all(not isinstance(d, jax.Array) for d in model.data)
+    assert np.all(np.isfinite(model.loss_history["fit"]))
+
+    # transform re-uploads lazily and caches the device copy back.
+    out = model.transform([x0[:16]], epochs=20, data_indices=[0],
+                          num_rep=2, lr=0.05, batch_size=64)
+    assert isinstance(model.data[0], jax.Array)
+    assert np.all(np.isfinite(np.asarray(out[0])))
+
+    rec = model.inverse_transform([out[0]], epochs=20, data_indices=[0],
+                                  num_rep=2, lr=0.05, batch_size=64)
+    assert rec[0].shape == (16, x0.shape[1])
+    assert np.all(np.isfinite(np.asarray(rec[0])))
+
+    # Checkpoint round-trip works from host-resident tables too.
+    path = str(tmp_path / "offload_model.npz")
+    model.save_state_dict(path)
+    loaded = MultimodalUMAP.load_state_dict(path)
+    np.testing.assert_allclose(
+        np.asarray(loaded.data[1], dtype=np.float32),
+        np.asarray(model.data[1], dtype=np.float32),
+    )
+    assert loaded.embeds[0].dtype == jnp.float32
