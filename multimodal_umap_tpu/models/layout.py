@@ -397,23 +397,17 @@ def make_loss_fn(
                 )
         if mode == "fit" and num_modes > 1 and alpha != 0.0:
             # Symmetric InfoNCE added to both modality buckets => 2*alpha
-            # effective weight (SURVEY.md §2.10c). Past _ATTR_SLOT_BYTES
-            # worth of anchors the term runs under jax.checkpoint: its
-            # ~9 rolled (N, D) similarity intermediates are recomputed
-            # in the backward instead of stored, the other lever (with
-            # the slot-scan attraction) that keeps the 1M-point epoch
-            # inside one chip's HBM next to the bf16 feature tables.
+            # effective weight (SURVEY.md §2.10c). Memory at scale is
+            # handled inside the loss itself: past 64k rows it streams
+            # row blocks in a remat'd scan (ops/losses.py
+            # _infonce_per_elem_blocked), so no outer checkpoint is
+            # needed (an outer jax.checkpoint measured WORSE -- it
+            # re-runs the whole forward in the backward while saving
+            # buffers the blocked form never materializes).
             infonce_fn = functools.partial(
                 L.infonce, n_neg=n_neg_infonce,
                 temperature=infonce_temperature,
             )
-            big = any(
-                p.shape[0] * p.shape[1] * (n_neg_infonce + 1) * 4
-                > _ATTR_SLOT_BYTES
-                for p in params
-            )
-            if big:
-                infonce_fn = jax.checkpoint(infonce_fn)
             pair_key = keys[-1]
             for i in range(num_modes):
                 for j in range(i + 1, num_modes):

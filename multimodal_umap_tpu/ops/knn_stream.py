@@ -66,9 +66,13 @@ _INF = jnp.float32(jnp.inf)
 
 def dispatch_flops_budget() -> float:
     """Max panel FLOPs a single fused-sweep dispatch may carry
-    (``MMUMAP_KNN_DISPATCH_FLOPS``; ~<=60 s of bf16 panel math at the
-    default). See :func:`knn_streamed` for why the cap exists."""
-    return float(os.environ.get("MMUMAP_KNN_DISPATCH_FLOPS", 1e15))
+    (``MMUMAP_KNN_DISPATCH_FLOPS``; ~<=20 s of bf16 panel math at the
+    default). See :func:`knn_streamed` for why the cap exists. The
+    default was 1e15 (~60 s dispatches): the 1M sweep's chunks at that
+    length still reproducibly killed the tunneled worker mid-dispatch,
+    while ~40 s dispatches survive -- 3e14 keeps each chunk well clear
+    of the limit for ~1 s of total extra RPC latency at 1M."""
+    return float(os.environ.get("MMUMAP_KNN_DISPATCH_FLOPS", 3e14))
 
 
 def exceeds_dispatch_budget(num_q: int, num_r: int, dim: int) -> bool:

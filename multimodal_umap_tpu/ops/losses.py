@@ -65,6 +65,113 @@ def _l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array
     return x / jnp.sqrt(jnp.maximum(sq, eps * eps))
 
 
+# Above this many rows, infonce streams row blocks (see _per_elem_blocked):
+# the whole-table form holds ~12-17 (num, D) buffers across fwd+bwd, which
+# is GiBs at beyond-flickr N (tools/probe_infonce_memory.py).
+_INFONCE_BLOCK_ROWS = 1 << 16
+
+
+def _infonce_per_elem(
+    e0: jax.Array,
+    e1: jax.Array,
+    permuted_1: jax.Array,
+    q: jax.Array,
+    rot: jax.Array,
+    offsets: jax.Array,
+    temperature: float,
+    block_rows: int,
+) -> jax.Array:
+    """Whole-table per-element InfoNCE values (slot order; slot i holds
+    the row with natural id (i + rot) % num)."""
+    del block_rows
+    num = e0.shape[0]
+    anchors = _l2_normalize(jnp.roll(e0, -rot, axis=0))
+    positives = _l2_normalize(jnp.roll(e1, -rot, axis=0))
+    pos_sim = jnp.sum(anchors * positives, axis=1) / temperature
+
+    neg_idx = (jnp.arange(num, dtype=jnp.int32)[:, None]
+               + offsets[None, :]) % num  # (num, n_neg+1)
+    neg_rows = q[neg_idx]  # actual negative row ids (int gather, no grad)
+    anchor_ids = (jnp.arange(num, dtype=jnp.int32) + rot) % num
+    not_self = neg_rows != anchor_ids[:, None]
+    # Negative column c is the cyclic shift permuted_1[(i + off_c) % num]
+    # == roll(permuted_1, -off_c). Rolling the ONCE-normalized table
+    # instead of gathering (num, n_neg+1, D) copies keeps the backward a
+    # roll (dynamic-slice VJP) -- no (num*(n_neg+1), D) scatter-add, and
+    # the normalize runs once instead of n_neg+1 times. All n_neg+1
+    # rolled tables materialize here (fwd + roll-back cotangents bwd,
+    # ~36 (num, D) buffers for the pair) -- fine below the block
+    # threshold (<= ~600 MB at 64k); past it infonce routes to
+    # :func:`_infonce_per_elem_blocked` instead.
+    normed_1 = _l2_normalize(permuted_1)
+    neg_sim = jnp.stack(
+        [jnp.sum(anchors * jnp.roll(normed_1, -offsets[c], axis=0), axis=1)
+         for c in range(offsets.shape[0])],
+        axis=1,
+    ) / temperature
+    neg_sim = jnp.where(not_self, neg_sim, -jnp.inf)
+
+    logits = jnp.concatenate([pos_sim[:, None], neg_sim], axis=1)
+    return -jax.nn.log_softmax(logits, axis=1)[:, 0]
+
+
+def _infonce_per_elem_blocked(
+    e0: jax.Array,
+    e1: jax.Array,
+    permuted_1: jax.Array,
+    q: jax.Array,
+    rot: jax.Array,
+    offsets: jax.Array,
+    temperature: float,
+    block_rows: int,
+) -> jax.Array:
+    """Row-blocked per-element InfoNCE: same values as
+    :func:`_infonce_per_elem`, O(block) live transients.
+
+    Every access pattern in the loss is a cyclic shift of a table, so
+    each table is extended with a wrap copy of its first ``block_rows``
+    rows and every block becomes a contiguous ``dynamic_slice`` (start
+    always < num, length block <= wrap margin). The backward is then
+    ``dynamic_update_slice`` accumulation into the extended cotangent --
+    contiguous, never a scatter -- preserving the engine's scatter-free
+    property at any scale. Blocks run in a remat'd ``lax.scan``: live
+    memory is the 3 extended tables + their cotangents + one block's
+    transients, vs ~12-17 whole-table buffers for the unblocked form.
+    Slots past ``num`` in the last block compute garbage from real rows;
+    their outputs are sliced off, so their cotangents are exactly zero.
+    """
+    num, _ = e0.shape
+    block = block_rows
+    nb = -(-num // block)
+    e0x = jnp.concatenate([e0, e0[:block]], axis=0)
+    e1x = jnp.concatenate([e1, e1[:block]], axis=0)
+    p1x = jnp.concatenate([permuted_1, permuted_1[:block]], axis=0)
+    qx = jnp.concatenate([q, q[:block]])
+    n_cols = offsets.shape[0]
+
+    def body(_, s):
+        a = _l2_normalize(
+            jax.lax.dynamic_slice_in_dim(e0x, (s + rot) % num, block))
+        p = _l2_normalize(
+            jax.lax.dynamic_slice_in_dim(e1x, (s + rot) % num, block))
+        pos_sim = jnp.sum(a * p, axis=1) / temperature
+        anchor_ids = (s + jnp.arange(block, dtype=jnp.int32) + rot) % num
+        cols = []
+        for c in range(n_cols):
+            st = (s + offsets[c]) % num
+            nrm = _l2_normalize(
+                jax.lax.dynamic_slice_in_dim(p1x, st, block))
+            sim = jnp.sum(a * nrm, axis=1) / temperature
+            neg_rows = jax.lax.dynamic_slice_in_dim(qx, st, block)
+            cols.append(jnp.where(neg_rows != anchor_ids, sim, -jnp.inf))
+        logits = jnp.stack([pos_sim] + cols, axis=1)
+        return None, -jax.nn.log_softmax(logits, axis=1)[:, 0]
+
+    starts = jnp.arange(nb, dtype=jnp.int32) * block
+    _, pe = jax.lax.scan(jax.checkpoint(body), None, starts)
+    return pe.reshape(-1)[:num]
+
+
 def infonce(
     key: jax.Array,
     embeds_0: jax.Array,
@@ -72,6 +179,7 @@ def infonce(
     n_neg: int = 8,
     temperature: float = 0.5,
     group_size: int = 1000,
+    block_rows: int | None = None,
 ) -> jax.Array:
     """Cross-modal InfoNCE alignment (reference impl/model.py:364-394).
 
@@ -113,45 +221,21 @@ def infonce(
         # Every group is full: mean-of-group-means == global mean for
         # ANY ordering -- no rotation needed (static shape, free check).
         rot = jnp.int32(0)
-        anchors = _l2_normalize(embeds_0[:num])
-        positives = _l2_normalize(embeds_1[:num])
     else:
         rot = jax.random.randint(key_rot, (), 0, num)
-        anchors = _l2_normalize(jnp.roll(embeds_0[:num], -rot, axis=0))
-        positives = _l2_normalize(jnp.roll(embeds_1[:num], -rot, axis=0))
-    pos_sim = jnp.sum(anchors * positives, axis=1) / temperature
 
     q, q_inv = random_permutation_pair(key_negperm, num)
     permuted_1 = permutation_gather(embeds_1[:num], q, q_inv)
     offsets = jax.random.randint(key_off, (n_neg + 1,), 0, num)
-    neg_idx = (jnp.arange(num, dtype=jnp.int32)[:, None]
-               + offsets[None, :]) % num  # (num, n_neg+1)
-    neg_rows = q[neg_idx]  # actual negative row ids (int gather, no grad)
-    # Anchor slot i holds the row with natural id (i + rot) % num.
-    anchor_ids = (jnp.arange(num, dtype=jnp.int32) + rot) % num
-    not_self = neg_rows != anchor_ids[:, None]
-    # Negative column c is the cyclic shift permuted_1[(i + off_c) % num]
-    # == roll(permuted_1, -off_c). Rolling the ONCE-normalized table
-    # instead of gathering (num, n_neg+1, D) copies keeps the backward a
-    # roll (dynamic-slice VJP) -- no (num*(n_neg+1), D) scatter-add, and
-    # the normalize runs once instead of n_neg+1 times. The columns are
-    # scanned with rematerialization rather than stacked: materializing
-    # all n_neg+1 rolled (num, D) tables forward AND their roll-back
-    # cotangents backward costs ~9.5 GiB of XLA temps per direction at
-    # num=524k (measured, tools/probe_infonce_memory.py) -- the scan
-    # keeps exactly one rolled copy live in each direction.
-    normed_1 = _l2_normalize(permuted_1)
 
-    def _col(_, off):
-        s = jnp.sum(anchors * jnp.roll(normed_1, -off, axis=0), axis=1)
-        return None, s
-
-    _, neg_cols = jax.lax.scan(jax.checkpoint(_col), None, offsets)
-    neg_sim = neg_cols.T / temperature  # (num, n_neg+1)
-    neg_sim = jnp.where(not_self, neg_sim, -jnp.inf)
-
-    logits = jnp.concatenate([pos_sim[:, None], neg_sim], axis=1)
-    per_elem = -jax.nn.log_softmax(logits, axis=1)[:, 0]
+    if block_rows is None:
+        block_rows = _INFONCE_BLOCK_ROWS
+    per_fn = (_infonce_per_elem_blocked if num > block_rows
+              else _infonce_per_elem)
+    per_elem = per_fn(
+        embeds_0[:num], embeds_1[:num], permuted_1, q, rot, offsets,
+        temperature, block_rows,
+    )
 
     per_elem = jnp.concatenate(
         [per_elem, jnp.zeros(padded - num, dtype=per_elem.dtype)]

@@ -78,3 +78,35 @@ def test_inv_losses_finite_at_coincident_points(rng):
     rep = np.asarray(L.inv_rep(x, x, sig, rho))
     assert np.all(np.isfinite(attr))
     assert np.all(np.isfinite(rep))
+
+
+def test_infonce_blocked_matches_whole_table():
+    """The row-blocked streaming form (engaged past 64k rows for memory;
+    forced on here via block_rows) must match the whole-table form in
+    value AND gradient -- same per-row math, different scheduling."""
+    key = jax.random.PRNGKey(7)
+    e0 = jax.random.normal(jax.random.PRNGKey(5), (1003, 8))
+    e1 = jax.random.normal(jax.random.PRNGKey(6), (1003, 8))
+
+    def whole(a, b):
+        return L.infonce(key, a, b, block_rows=1 << 16)
+
+    def blocked(a, b):
+        return L.infonce(key, a, b, block_rows=256)
+
+    v_w, g_w = jax.value_and_grad(whole, argnums=(0, 1))(e0, e1)
+    v_b, g_b = jax.value_and_grad(blocked, argnums=(0, 1))(e0, e1)
+    np.testing.assert_allclose(float(v_w), float(v_b), rtol=1e-5)
+    for gw, gb in zip(g_w, g_b):
+        np.testing.assert_allclose(
+            np.asarray(gw), np.asarray(gb), rtol=1e-4, atol=1e-6)
+
+
+def test_infonce_blocked_group_multiple():
+    """Blocked path with num an exact group multiple (rot == 0 branch)."""
+    key = jax.random.PRNGKey(9)
+    e0 = jax.random.normal(jax.random.PRNGKey(1), (2000, 4))
+    e1 = jax.random.normal(jax.random.PRNGKey(2), (2000, 4))
+    v_w = float(L.infonce(key, e0, e1, block_rows=1 << 16))
+    v_b = float(L.infonce(key, e0, e1, block_rows=512))
+    np.testing.assert_allclose(v_w, v_b, rtol=1e-5)

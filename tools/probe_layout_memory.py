@@ -10,9 +10,12 @@ so an HBM overcommit shows up as numbers instead of a dead worker.
 
 Usage: python -u tools/probe_layout_memory.py <graphs.npz> [epoch_chunk]
            [alpha] [num_rep]
+       python -u tools/probe_layout_memory.py synth:<n>[,k,d,m]
+           [epoch_chunk] [alpha] [num_rep]
 
 ``alpha``/``num_rep`` ablate the InfoNCE / repulsion terms to localize
-which loss component owns the temp bytes.
+which loss component owns the temp bytes. The ``synth:`` form probes a
+scale with no cached graph state (shapes are all lowering needs).
 """
 
 import sys
@@ -28,28 +31,50 @@ from multimodal_umap_tpu.utils import checkpoint as ckpt
 from multimodal_umap_tpu.ops.graph import DenseSymGraph
 
 
+def _synth_shapes(spec: str):
+    parts = (spec.split(":", 1)[1]).split(",")
+    n = int(parts[0])
+    k = int(parts[1]) if len(parts) > 1 else 15
+    d = int(parts[2]) if len(parts) > 2 else 64
+    m = int(parts[3]) if len(parts) > 3 else 2
+    denses = [
+        DenseSymGraph(
+            nbrs=jax.ShapeDtypeStruct((n, k), jnp.int32),
+            weights=jax.ShapeDtypeStruct((n, k), jnp.float32),
+            bwd_valid=jax.ShapeDtypeStruct((n, k), jnp.bool_),
+            num_rows=n,
+        )
+        for _ in range(m)
+    ]
+    inits = [jax.ShapeDtypeStruct((n, d), jnp.float32) for _ in range(m)]
+    return denses, inits
+
+
 def main():
     path = sys.argv[1]
-    with np.load(path, allow_pickle=False) as z:
-        import json
+    if path.startswith("synth:"):
+        denses, inits = _synth_shapes(path)
+    else:
+        with np.load(path, allow_pickle=False) as z:
+            import json
 
-        meta = json.loads(str(z["meta"]))
-        m = meta["num_encoders"]
-        denses, inits = [], []
-        for i in range(m):
-            num_rows, _ = meta["graph_shapes"][i]
-            # Host-side: shapes only matter for lowering.
-            denses.append(DenseSymGraph(
-                nbrs=jax.ShapeDtypeStruct(z[f"dense_{i}_nbrs"].shape,
-                                          jnp.int32),
-                weights=jax.ShapeDtypeStruct(
-                    z[f"dense_{i}_weights"].shape, jnp.float32),
-                bwd_valid=jax.ShapeDtypeStruct(
-                    z[f"dense_{i}_bwd_valid"].shape, jnp.bool_),
-                num_rows=int(num_rows),
-            ))
-            inits.append(jax.ShapeDtypeStruct(z[f"init_{i}"].shape,
-                                              jnp.float32))
+            meta = json.loads(str(z["meta"]))
+            m = meta["num_encoders"]
+            denses, inits = [], []
+            for i in range(m):
+                num_rows, _ = meta["graph_shapes"][i]
+                # Host-side: shapes only matter for lowering.
+                denses.append(DenseSymGraph(
+                    nbrs=jax.ShapeDtypeStruct(z[f"dense_{i}_nbrs"].shape,
+                                              jnp.int32),
+                    weights=jax.ShapeDtypeStruct(
+                        z[f"dense_{i}_weights"].shape, jnp.float32),
+                    bwd_valid=jax.ShapeDtypeStruct(
+                        z[f"dense_{i}_bwd_valid"].shape, jnp.bool_),
+                    num_rows=int(num_rows),
+                ))
+                inits.append(jax.ShapeDtypeStruct(z[f"init_{i}"].shape,
+                                                  jnp.float32))
 
     batch_size, lr = 256, 0.01
     alpha = float(sys.argv[3]) if len(sys.argv) > 3 else 1.0
