@@ -43,6 +43,34 @@ _GRAPH_OFFLOAD_EDGES = 2 * 524288 * 15
 _DATA_OFFLOAD_BYTES = 2 << 30
 
 
+def _to_host_memory(x):
+    """Moves ``x`` into the device's host memory space (server-side, no
+    tunnel traffic); numpy-readback fallback for backends without one."""
+    if not isinstance(x, jax.Array):
+        return x
+    try:
+        dev = next(iter(x.devices()))
+        host = jax.sharding.SingleDeviceSharding(
+            dev, memory_kind="unpinned_host")
+        return jax.device_put(x, host)
+    except (ValueError, TypeError, KeyError):
+        return np.asarray(x)
+
+
+def _to_default_memory(x):
+    """Inverse of :func:`_to_host_memory`: back to the device's default
+    (HBM) memory space, uploading host numpy if that was the fallback."""
+    if not isinstance(x, jax.Array):
+        return jnp.asarray(x)
+    dev = next(iter(x.devices()))
+    default_kind = dev.default_memory().kind
+    if getattr(x.sharding, "memory_kind", default_kind) != default_kind:
+        return jax.device_put(
+            x, jax.sharding.SingleDeviceSharding(
+                dev, memory_kind=default_kind))
+    return x
+
+
 def _as_f32(x) -> jax.Array:
     # jax arrays stay on device (this host has a single slow vCPU --
     # never round-trip through numpy).
@@ -275,6 +303,10 @@ class MultimodalUMAP:
             else jnp.asarray(np.asarray(x), dtype=tgt)
             for x in inputs
         ]
+        # Drop fit's own handle on the caller's arrays: a same-dtype
+        # astype is the same buffer, and _offload_features can only
+        # free HBM once self.data holds the last live reference.
+        inputs = None
         if len(self.data) != self.num_encoders:
             raise ValueError(
                 f"expected {self.num_encoders} modalities, got {len(self.data)}"
@@ -691,6 +723,16 @@ class MultimodalUMAP:
         Called after the graph phase, whose kNN sweep is the last fit
         consumer of the tables; frees their HBM for the layout epochs.
         Single-device only (mesh runs hold 1/P of each table per chip).
+
+        The move is a ``device_put`` into the device's host memory space
+        (``unpinned_host``), which stays server-side: reading a multi-GiB
+        table back through the tunneled transfer path takes tens of
+        minutes, the in-server copy ~0.25 s/GiB. Falls back to a numpy
+        readback where the backend has no host memory space. NOTE: HBM
+        is only actually freed once no other live reference pins the
+        device buffer -- fit() drops its ``inputs`` argument for this
+        reason, and callers at beyond-HBM scale must hand over ownership
+        (see tools/run_flickr_scale_e2e.py).
         """
         if self.data is None:
             return
@@ -699,18 +741,13 @@ class MultimodalUMAP:
             if isinstance(x, jax.Array)
         )
         if total >= _DATA_OFFLOAD_BYTES:
-            self.data = [
-                np.asarray(x) if isinstance(x, jax.Array) else x
-                for x in self.data
-            ]
+            self.data = [_to_host_memory(x) for x in self.data]
 
     def _data_dev(self, i: int) -> jax.Array:
         """Device copy of feature table ``i``, re-cached on device (the
         inverse of :meth:`_offload_features`; a no-op when resident)."""
-        x = self.data[i]
-        if not isinstance(x, jax.Array):
-            x = jnp.asarray(x)
-            self.data[i] = x
+        x = _to_default_memory(self.data[i])
+        self.data[i] = x
         return x
 
 

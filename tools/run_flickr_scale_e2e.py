@@ -103,7 +103,11 @@ def main():
         )
     model = MultimodalUMAP(cfg.k_neighbors, cfg.out_dim, cfg.min_dist,
                            num_encoders=2, feature_dtype=feature_dtype)
-    model.fit([train[k] for k in train], epochs=cfg.train_epochs,
+    # Hand table ownership to the model (pop + rvalue list): past the
+    # offload threshold fit parks the tables in host memory during the
+    # layout phase, which only frees HBM if no caller reference pins
+    # the device buffers. Eval below touches only `test` and model state.
+    model.fit([train.pop(k) for k in list(train)], epochs=cfg.train_epochs,
               num_rep=cfg.num_rep, lr=cfg.lr, alpha=cfg.alpha,
               batch_size=cfg.batch_size, **fit_kwargs)
     sync(model.embeds)
