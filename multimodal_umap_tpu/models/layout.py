@@ -179,6 +179,12 @@ def _inv_window_coef(
 # loss scans neighbor slots with remat instead (memory: O(N*D)).
 _ATTR_SLOT_BYTES = 1 << 30
 
+# Above this many rows, each modality's fit loss is wrapped in
+# jax.checkpoint so the modalities' backward transients serialize
+# (peak = max, not sum). The recompute is one extra forward of (N, k)
+# elementwise work per modality -- noise next to its own backward.
+_MODALITY_REMAT_ROWS = 1 << 18
+
 
 def _fit_modality_loss(
     embed: jax.Array,
@@ -384,11 +390,22 @@ def make_loss_fn(
         total = jnp.float32(0.0)
         for i in range(num_modes):
             if mode == "fit":
-                total = total + _fit_modality_loss(
-                    params[i], tasks[i], statics[i], keys[i],
-                    a=a, b=b, num_rep=num_rep, batch_size=batch_size,
-                    deterministic=deterministic,
-                )
+                def fit_loss(p, task, ab_, k, i=i):
+                    return _fit_modality_loss(
+                        p, task, statics[i], k,
+                        a=ab_[0], b=ab_[1], num_rep=num_rep,
+                        batch_size=batch_size,
+                        deterministic=deterministic,
+                    )
+
+                if statics[i].num_rows > _MODALITY_REMAT_ROWS:
+                    # Beyond-flickr N: remat each modality's loss so the
+                    # two modalities' backward transients cannot be
+                    # scheduled to overlap -- peak temp is the max of
+                    # the per-modality costs instead of their sum.
+                    fit_loss = jax.checkpoint(fit_loss)
+                total = total + fit_loss(
+                    params[i], tasks[i], (a, b), keys[i])
             else:
                 total = total + _query_modality_loss(
                     params[i], tasks[i], statics[i], keys[i],
