@@ -19,15 +19,28 @@ carry the north-star claim (BASELINE.md / VERDICT round 1 task 5):
   dispatch/bandwidth-bound by construction -- the interesting number
   is the milliseconds.
 
+RESILIENCE (VERDICT r3 item 1): the axon-tunneled TPU worker dies
+transiently ("UNAVAILABLE: TPU worker process crashed") -- round 3's
+record was a crash trace because one such fault inside the warm-up fit
+zeroed the whole run. Each section therefore executes in its OWN
+subprocess (a worker crash poisons the parent process's TPU client, so
+in-process retry cannot recover) and is retried once on failure; the
+final JSON line is ALWAYS emitted with whatever sections succeeded,
+carrying an "errors" field for the rest. The persistent compile cache
+(utils/cache.py) makes the per-subprocess warm-up cheap.
+
 Usage: python bench.py [--quick] [--small] [--n 2000] [--epochs 600]
   --quick  tiny smoke configuration (CI)
   --small  reference-comparable fit only (skip 31k + MFU)
+  --section {small,flickr,knn,layout}  internal: run one section
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -263,12 +276,94 @@ def measure_layout_epoch(n: int = 31744, out_dim: int = 64,
     }
 
 
+_RESULT_TAG = "@@SECTION_RESULT "
+
+# (section timeout, seconds): generous -- a cold compile cache on this
+# single-vCPU host costs minutes; with the persistent cache the warm
+# path is a small fraction of these.
+_SECTION_TIMEOUT_S = {
+    "small": 1500, "flickr": 2100, "knn": 1200, "layout": 1800,
+}
+
+
+def run_section(name: str, args) -> dict:
+    """One bench section -> the flat record fields it contributes."""
+    if name == "small":
+        result = run_small(args.n, args.epochs, args.k, args.out_dim)
+        print(
+            f"# device={result['device']} "
+            f"final_loss={result['final_loss']:.4f}",
+            file=sys.stderr,
+        )
+        return {"elapsed_s": result["elapsed_s"]}
+    if name == "flickr":
+        flickr = run_flickr_scale()
+        print(f"# flickr31k phases: {flickr['phases']}", file=sys.stderr)
+        return {
+            "flickr31k_fit_s": round(flickr["fit_s"], 1),
+            "flickr31k_eval_s": round(flickr["eval_s"], 1),
+            "flickr31k_e2e_s": round(flickr["e2e_s"], 1),
+            "flickr31k_pass_5min": flickr["e2e_s"] < 300.0,
+            "flickr31k_cosine": round(flickr["cosine"], 4),
+            "flickr31k_knn1": round(flickr["knn1"], 4),
+            "flickr31k_recon_mse": round(flickr["recon_mse"], 4),
+            "flickr31k_trust": [round(t, 4) for t in flickr["trust"]],
+            "flickr31k_quality_ok": flickr["quality_gates_ok"],
+            "flickr31k_knn1_floor": round(flickr["knn1_floor"], 4),
+        }
+    if name == "knn":
+        from multimodal_umap_tpu.ops.knn import resolve_engine
+
+        knn_mfu = measure_knn_mfu()
+        return {
+            "knn_engine": resolve_engine(),
+            "knn31k_tflops": round(knn_mfu["tflops"], 1),
+            "knn31k_mfu_pct": round(knn_mfu["mfu_pct"], 1),
+        }
+    if name == "layout":
+        layout = measure_layout_epoch()
+        return {
+            "layout_epoch_ms": round(layout["epoch_ms"], 1),
+            "layout_tflops": round(layout["tflops"], 3),
+        }
+    raise ValueError(f"unknown section {name!r}")
+
+
+def _run_section_subprocess(name: str, args) -> tuple[dict | None, str]:
+    """Runs one section in a child process (a TPU worker crash poisons
+    the parent's client -- isolation is what makes retry meaningful).
+    Returns (fields, "") on success else (None, error tail)."""
+    cmd = [
+        sys.executable, os.path.abspath(__file__), "--section", name,
+        "--n", str(args.n), "--epochs", str(args.epochs),
+        "--k", str(args.k), "--out_dim", str(args.out_dim),
+    ]
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True,
+            timeout=_SECTION_TIMEOUT_S[name],
+        )
+    except subprocess.TimeoutExpired:
+        return None, f"timeout after {_SECTION_TIMEOUT_S[name]}s"
+    sys.stderr.write(proc.stderr[-2000:])
+    for line in proc.stdout.splitlines():
+        if line.startswith(_RESULT_TAG):
+            try:
+                return json.loads(line[len(_RESULT_TAG):]), ""
+            except json.JSONDecodeError as e:
+                return None, f"bad result line: {e}"
+    tail = (proc.stderr or proc.stdout or "")[-500:]
+    return None, f"rc={proc.returncode}: {tail}"
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
                         help="tiny smoke configuration")
     parser.add_argument("--small", action="store_true",
                         help="reference-comparable fit only (no 31k/MFU)")
+    parser.add_argument("--section", choices=sorted(_SECTION_TIMEOUT_S),
+                        help="internal: run one section in-process")
     parser.add_argument("--n", type=int, default=2000)
     parser.add_argument("--epochs", type=int, default=600)
     parser.add_argument("--k", type=int, default=15)
@@ -294,52 +389,56 @@ def main() -> None:
         }))
         return
 
-    result = run_small(args.n, args.epochs, args.k, args.out_dim)
+    if args.section:
+        # Child mode: run the section, emit one tagged JSON line.
+        print(_RESULT_TAG + json.dumps(run_section(args.section, args)))
+        return
+
     scale_note = f"n{args.n}_e{args.epochs}"
     record = {
         "metric": f"e2e_fit_time_{scale_note}",
-        "value": round(result["elapsed_s"], 3),
+        "value": None,
         "unit": "s",
-        "vs_baseline": round(BASELINE_SECONDS / result["elapsed_s"], 3),
+        "vs_baseline": None,
     }
-    print(
-        f"# device={result['device']} final_loss={result['final_loss']:.4f}"
-        f" config={scale_note}",
-        file=sys.stderr,
-    )
+    errors: dict[str, str] = {}
+    sections = ("small",) if args.small else (
+        "small", "flickr", "knn", "layout")
+    for name in sections:
+        fields = None
+        for attempt in range(2):
+            fields, err = _run_section_subprocess(name, args)
+            if fields is not None:
+                break
+            print(f"# section {name} try {attempt + 1} failed: {err}",
+                  file=sys.stderr)
+            # A crashed tunnel worker needs a beat to be reaped before
+            # a fresh process can attach (healthy handoffs need none).
+            time.sleep(60)
+        if fields is None:
+            errors[name] = err
+            continue
+        if name == "small":
+            record["value"] = round(fields["elapsed_s"], 3)
+            record["vs_baseline"] = round(
+                BASELINE_SECONDS / fields["elapsed_s"], 3)
+        else:
+            record.update(fields)
+    if errors:
+        record["errors"] = errors
 
-    if not args.small:
-        from multimodal_umap_tpu.ops.knn import resolve_engine
-
-        flickr = run_flickr_scale()
-        knn_mfu = measure_knn_mfu()
-        layout = measure_layout_epoch()
-        record.update({
-            "flickr31k_fit_s": round(flickr["fit_s"], 1),
-            "flickr31k_eval_s": round(flickr["eval_s"], 1),
-            "flickr31k_e2e_s": round(flickr["e2e_s"], 1),
-            "flickr31k_pass_5min": flickr["e2e_s"] < 300.0,
-            "flickr31k_cosine": round(flickr["cosine"], 4),
-            "flickr31k_knn1": round(flickr["knn1"], 4),
-            "flickr31k_recon_mse": round(flickr["recon_mse"], 4),
-            "flickr31k_trust": [round(t, 4) for t in flickr["trust"]],
-            "flickr31k_quality_ok": flickr["quality_gates_ok"],
-            "knn_engine": resolve_engine(),
-            "knn31k_tflops": round(knn_mfu["tflops"], 1),
-            "knn31k_mfu_pct": round(knn_mfu["mfu_pct"], 1),
-            "layout_epoch_ms": round(layout["epoch_ms"], 1),
-            "layout_tflops": round(layout["tflops"], 3),
-        })
-        print(f"# flickr31k phases: {flickr['phases']}", file=sys.stderr)
-
+    # The JSON line is ALWAYS printed, whatever failed above.
     print(json.dumps(record))
-    if not args.small and not flickr["quality_gates_ok"]:
+    if record["value"] is None:
+        raise SystemExit("primary section failed twice; see errors field")
+    if not args.small and not record.get("flickr31k_quality_ok", True):
         # Gates are part of the bench contract: fail loudly AFTER the
         # JSON line so the driver still records the numbers.
         raise AssertionError(
-            f"31k quality floor gates failed: knn1={flickr['knn1']:.4f} "
-            f"(floor {flickr['knn1_floor']:.4f}), trust={flickr['trust']} "
-            f"(floor 0.95)"
+            "31k quality floor gates failed: "
+            f"knn1={record.get('flickr31k_knn1')} "
+            f"(floor {record.get('flickr31k_knn1_floor')}), "
+            f"trust={record.get('flickr31k_trust')} (floor 0.95)"
         )
 
 
