@@ -1,0 +1,155 @@
+"""Background snapshot writer + host-memory-space staging.
+
+Snapshot economics on this setup (one TPU chip behind the axon tunnel,
+single slow host vCPU): a 524k-row optimizer snapshot is ~800 MB of
+device state whose ``np.asarray`` readback rides the tunnel and whose
+npz serialization rides the one vCPU -- measured at 15-20 s/epoch of
+wall overhead when done synchronously at every epoch-chunk boundary,
+vs ~0.84 s/epoch of device compute (BASELINE.md, 524k rung; VERDICT r3
+weak #2). The writer here removes that tax:
+
+* the MAIN thread stages each array into the device's **host memory
+  space** (``device_put`` with ``memory_kind="unpinned_host"``) -- a
+  server-side HBM->host copy at device bandwidth, no tunnel traffic --
+  and returns immediately;
+* a single daemon WRITER thread performs the tunneled readback and the
+  atomic npz write (tmp + ``os.replace``), overlapped with the next
+  chunk's device compute;
+* only the LATEST pending snapshot is kept: if a new one arrives while
+  the writer is busy, the older queued one is dropped (the file's
+  contract is "most recent durable state", not a history).
+
+Staging doubles as the donation fence: the layout chunk runner donates
+its parameter buffers into the next dispatch, so the writer must never
+touch the original device arrays -- the host-space copy is issued
+before the callback returns and PJRT sequences it ahead of any
+donation of the source buffer.
+
+The reference has no counterpart (its checkpointing is a synchronous
+``torch.save`` at the end of training, reference impl/model.py:653-683);
+this is scale machinery for the TPU build's preemption-recovery design
+(SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import warnings
+
+import numpy as np
+
+
+def host_memory_kind(device) -> str | None:
+    """The device's host-side memory-space kind, or None if the backend
+    exposes none (probed up front so callers never rely on exception
+    types to detect support -- ADVICE r3 item 2)."""
+    try:
+        kinds = {m.kind for m in device.memories()}
+    except Exception:  # backend without the memories() API
+        return None
+    for kind in ("unpinned_host", "pinned_host"):
+        if kind in kinds:
+            return kind
+    return None
+
+
+def to_host_memory(x):
+    """Copies ``x`` into its device's host memory space (server-side
+    copy, no tunnel traffic). ALWAYS returns a buffer independent of
+    the input (callers use it as a donation fence); falls back to a
+    blocking numpy readback where no distinct host space exists -- with
+    a warning when that readback is a device transfer, because at
+    multi-GiB sizes it is minutes, not milliseconds."""
+    import jax
+
+    if not isinstance(x, jax.Array):
+        return x
+    dev = next(iter(x.devices()))
+    kind = host_memory_kind(dev)
+    try:
+        default_kind = dev.default_memory().kind
+    except Exception:
+        default_kind = None
+    if kind is None or kind == default_kind:
+        # No host space distinct from the default (e.g. the CPU
+        # backend, whose buffers already live in host RAM): device_put
+        # would alias the input instead of copying. numpy readback is
+        # the copy; warn only when it actually crosses a device link.
+        if getattr(dev, "platform", "cpu") != "cpu":
+            warnings.warn(
+                "backend exposes no host memory space; snapshot staging "
+                "falls back to a blocking device readback", stacklevel=2)
+        return np.asarray(x)
+    try:
+        if len(x.devices()) > 1:
+            # Mesh-sharded: keep the sharding, swap the memory space
+            # (per-device host copies; the consumer's np.asarray
+            # gathers at read time).
+            sharding = x.sharding.with_memory_kind(kind)
+        else:
+            sharding = jax.sharding.SingleDeviceSharding(
+                dev, memory_kind=kind)
+        return jax.device_put(x, sharding)
+    except Exception as e:  # runtime refused the placement
+        warnings.warn(
+            f"device_put to {kind!r} failed ({e!r}); snapshot staging "
+            "falls back to a blocking device readback", stacklevel=2)
+        return np.asarray(x)
+
+
+class SnapshotWriter:
+    """One daemon thread writing atomic npz snapshots off the hot path.
+
+    ``submit(path, arrays)`` stages device arrays into host memory and
+    returns immediately; ``flush()`` blocks until the file is durable
+    (call it for the FINAL snapshot -- fit must not return before its
+    end-state is on disk). Write errors are deferred and re-raised at
+    the next ``flush()``.
+    """
+
+    def __init__(self):
+        self._cond = threading.Condition()
+        self._pending: tuple[str, dict] | None = None
+        self._writing = False
+        self._error: BaseException | None = None
+        self._thread = threading.Thread(
+            target=self._loop, daemon=True, name="snapshot-writer")
+        self._thread.start()
+
+    def submit(self, path: str, arrays: dict) -> None:
+        staged = {k: to_host_memory(v) for k, v in arrays.items()}
+        with self._cond:
+            self._pending = (path, staged)
+            self._cond.notify_all()
+
+    def flush(self) -> None:
+        with self._cond:
+            while self._pending is not None or self._writing:
+                self._cond.wait()
+            if self._error is not None:
+                err, self._error = self._error, None
+                raise err
+
+    def _loop(self) -> None:
+        while True:
+            with self._cond:
+                while self._pending is None:
+                    self._cond.wait()
+                path, staged = self._pending
+                self._pending = None
+                self._writing = True
+            try:
+                tmp = path + ".tmp.npz"
+                # Atomic write: a preemption mid-write must never leave
+                # a truncated npz where the resume loader looks.
+                np.savez(tmp, **{k: np.asarray(v)
+                                 for k, v in staged.items()})
+                os.replace(tmp, path)
+            except BaseException as e:
+                with self._cond:
+                    self._error = e
+            finally:
+                with self._cond:
+                    self._writing = False
+                    self._cond.notify_all()
