@@ -15,8 +15,6 @@ step per epoch, and state round-trips through npz.
 
 from __future__ import annotations
 
-import warnings
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -275,14 +273,15 @@ class MultimodalUMAP:
                 covers only the resumed epochs.
             verbose: print the loss at every epoch-chunk boundary (the
                 reference's tqdm loss readout, SURVEY.md §5.5).
-            graph_cache_path: if set (single-device runs only), the
-                graph stage's outputs (edge lists, dense graphs,
-                spectral inits, sigma/rho) are snapshotted there after
-                building, and a rerun loads them instead of re-paying
-                the kNN sweep + spectral filter -- the longest, most
-                crash-exposed dispatches at beyond-flickr scale. The
-                snapshot is keyed on (k, out_dim, feature fingerprint);
-                a mismatch rebuilds and overwrites.
+            graph_cache_path: if set, the graph stage's outputs (edge
+                lists, dense graphs, spectral inits, sigma/rho) are
+                snapshotted there after building, and a rerun loads
+                them instead of re-paying the kNN sweep + spectral
+                filter -- the longest, most crash-exposed dispatches at
+                beyond-flickr scale. The snapshot is keyed on (k,
+                out_dim, feature fingerprint); a mismatch rebuilds and
+                overwrites. Mesh runs store host-layout arrays and
+                re-apply the data-parallel placements on load.
         """
         # Storage cast (HBM halving; see __init__) goes DIRECT to the
         # target dtype: routing an already-bf16 1M x 4096 table through
@@ -319,15 +318,7 @@ class MultimodalUMAP:
 
         cached = None
         fingerprints = None
-        if graph_cache_path is not None and plan is not None:
-            # Cached arrays are host-layout; reloading them under a mesh
-            # would need resharding logic no caller exercises yet. Say
-            # so instead of silently re-paying the graph phase on every
-            # mesh retry.
-            warnings.warn(
-                "graph_cache_path is ignored on mesh runs -- the graph "
-                "phase will rebuild on every retry", stacklevel=2)
-        if graph_cache_path is not None and plan is None:
+        if graph_cache_path is not None:
             fingerprints = [ckpt.feature_fingerprint(x) for x in self.data]
             cached = ckpt.load_graph_cache(
                 graph_cache_path, k_neighbors=self.k_neighbors,
@@ -337,8 +328,15 @@ class MultimodalUMAP:
         if cached is not None:
             graphs, denses, inits = (cached["graphs"], cached["denses"],
                                      cached["inits"])
+            # Cache arrays are host-layout; under a mesh, re-apply the
+            # data-parallel placements the built path would have used
+            # (dense graphs + inits re-shard via shard_task below, so
+            # only the per-encoder bandwidths need placing here --
+            # shard_task replicates them for the query paths).
             for enc, s, r in zip(self.encoders, cached["sigmas"],
                                  cached["rhos"]):
+                if plan is not None:
+                    s, r = plan.replicated(s), plan.replicated(r)
                 enc.sigmas, enc.rhos = s, r
         else:
             graphs, denses, inits = [], [], []

@@ -40,18 +40,43 @@ import warnings
 import numpy as np
 
 
+_HOST_KIND_CACHE: dict = {}
+
+
 def host_memory_kind(device) -> str | None:
     """The device's host-side memory-space kind, or None if the backend
     exposes none (probed up front so callers never rely on exception
-    types to detect support -- ADVICE r3 item 2)."""
+    types to detect support -- ADVICE r3 item 2). The axon PJRT plugin
+    accepts ``device_put(memory_kind="unpinned_host")`` but does NOT
+    implement ``device.memories()``, so the probe tries a 1-element
+    transfer when the introspection API is missing; the result is
+    cached per device."""
+    if device in _HOST_KIND_CACHE:
+        return _HOST_KIND_CACHE[device]
+    import jax
+    import jax.numpy as jnp
+
+    kind = None
     try:
         kinds = {m.kind for m in device.memories()}
-    except Exception:  # backend without the memories() API
-        return None
-    for kind in ("unpinned_host", "pinned_host"):
-        if kind in kinds:
-            return kind
-    return None
+        for candidate in ("unpinned_host", "pinned_host"):
+            if candidate in kinds:
+                kind = candidate
+                break
+    except Exception:  # backend without the memories() API: probe
+        for candidate in ("unpinned_host", "pinned_host"):
+            try:
+                probe = jax.device_put(
+                    jnp.zeros((1,), jnp.float32),
+                    jax.sharding.SingleDeviceSharding(
+                        device, memory_kind=candidate))
+                np.asarray(probe)
+                kind = candidate
+                break
+            except Exception:
+                continue
+    _HOST_KIND_CACHE[device] = kind
+    return kind
 
 
 def to_host_memory(x):

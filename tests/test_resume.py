@@ -289,19 +289,35 @@ def test_graph_cache_rejects_mismatched_spectral_method(blobs, tmp_path):
     assert "fit/graph_0" not in c.timer.report()  # rewritten cache hits
 
 
-def test_graph_cache_warns_and_is_ignored_on_mesh(blobs, tmp_path):
-    """Mesh runs do not support the graph cache; that must be a visible
-    warning (and a normal fit), not a silent no-op."""
-    import pytest
-
+def test_graph_cache_under_mesh_skips_graph_phase(blobs, tmp_path):
+    """VERDICT r3 item 5: a mesh fit with a warm graph cache must skip
+    the kNN sweep + spectral filter (the expensive, crash-exposed
+    dispatches a mesh retry used to re-pay) and reproduce the built
+    run's embeddings, keeping the row sharding."""
     from multimodal_umap_tpu.parallel.mesh import create_mesh
 
     x0, x1, _ = blobs
+    kwargs = dict(num_rep=2, lr=0.05, alpha=0.5, batch_size=64)
     cache = os.path.join(tmp_path, "graphs.npz")
-    model = MultimodalUMAP(8, 4, 0.1, num_encoders=2, seed=5,
-                           mesh=create_mesh(8))
-    with pytest.warns(UserWarning, match="graph_cache_path is ignored"):
-        model.fit([x0, x1], epochs=5, num_rep=2, lr=0.05, alpha=0.5,
-                  batch_size=64, graph_cache_path=cache)
-    assert not os.path.exists(cache)
-    assert len(model.embeds) == 2
+    mesh = create_mesh(8)
+
+    first = MultimodalUMAP(8, 4, 0.1, num_encoders=2, seed=5, mesh=mesh)
+    first.fit([x0, x1], epochs=20, graph_cache_path=cache, **kwargs)
+    assert os.path.exists(cache)
+    assert "fit/graph_0" in first.timer.report()
+
+    second = MultimodalUMAP(8, 4, 0.1, num_encoders=2, seed=5, mesh=mesh)
+    second.fit([x0, x1], epochs=20, graph_cache_path=cache, **kwargs)
+    # The cached mesh rerun skipped the graph phase entirely.
+    assert "fit/graph_0" not in second.timer.report()
+
+    for m in range(2):
+        np.testing.assert_allclose(
+            np.asarray(second.embeds[m]), np.asarray(first.embeds[m]),
+            rtol=2e-4, atol=2e-5)
+    # Embeddings stay sharded over the full mesh after a cache load.
+    assert len(second.embeds[0].sharding.device_set) == 8
+    # And the query paths (which consume enc.sigmas/rhos) still run.
+    z = second.transform([x0[:16]], epochs=5, data_indices=[0],
+                         batch_size=16)
+    assert np.isfinite(np.asarray(z[0])).all()

@@ -37,6 +37,6 @@ run() {
 case "$START" in
   31744)   run 31744   float32  1800 ;&
   524288)  run 524288  bfloat16 3600 ;&
-  1048576) run 1048576 bfloat16 5400 ;;
+  1048576) run 1048576 bfloat16 7200 ;;
   *) echo "unknown rung $START"; exit 1 ;;
 esac
