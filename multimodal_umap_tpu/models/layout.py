@@ -491,16 +491,24 @@ def default_epoch_chunk(num_rows: int) -> int:
     """N-adaptive scan length for the epoch chunks.
 
     One chunk is ONE device dispatch, and the tunneled worker dies
-    under multi-minute single dispatches (the same duration limit that
-    host-chunks the kNN sweep, ops/knn_stream.py). Measured epoch cost
-    is ~1.6e-6 s/row on v5e (49.7 ms at 31k, 0.42 s at 262k,
-    BASELINE.md), so the chunk targets <= ~25 s of device time per
-    dispatch: floor 4, cap 100 (the cap keeps small-N runs on at most
-    two compiled programs). ``MMUMAP_EPOCH_CHUNK`` overrides.
+    under long single dispatches (~40 s survives, ~60+ s reproducibly
+    faults -- the same duration limit that host-chunks the kNN sweep,
+    ops/knn_stream.py). Measured epoch cost is ~1.6e-6 s/row on v5e
+    (49.7 ms at 31k, 0.42 s at 262k, BASELINE.md), so the chunk targets
+    <= ~25 s of device time per dispatch. Past ``_MODALITY_REMAT_ROWS``
+    the per-epoch cost is a small multiple of that extrapolation (the
+    remat'd backward recomputes each modality's forward and InfoNCE
+    streams row blocks), and a 30-epoch chunk at 524k measured as a
+    reproducible worker fault on the first dispatch -- the budget there
+    drops to ~6 epochs at 524k / 3 at 1M. Floor 2, cap 100 (the cap
+    keeps small-N runs on at most two compiled programs).
+    ``MMUMAP_EPOCH_CHUNK`` overrides.
     """
     env = os.environ.get("MMUMAP_EPOCH_CHUNK")
     if env:
         return max(1, int(env))
+    if num_rows > _MODALITY_REMAT_ROWS:
+        return max(2, min(100, int(3.2e6 / num_rows)))
     return max(4, min(100, int(1.6e7 / max(num_rows, 1))))
 
 
@@ -576,9 +584,22 @@ def train_layout(
         from .layout_sharded import sharded_chunk_runner, sharded_compatible
 
         if sharded_compatible(params, tasks, statics, mesh):
+            # Wide frozen reference tables (invert mode at feature
+            # width) must not be all-gathered per chunk -- past the
+            # threshold each device would materialize the full (N, D)
+            # table (16 GB at 1M x 4096 f32). The ring engine keeps
+            # them sharded (VERDICT r3 item 6).
+            ref_gather = "full"
+            if mode != "fit":
+                thresh = float(os.environ.get(
+                    "MMUMAP_REF_GATHER_BYTES", 1 << 30))
+                if any(t.ref is not None
+                       and t.ref.size * t.ref.dtype.itemsize > thresh
+                       for t in tasks):
+                    ref_gather = "ring"
             optimizer, run_chunk = sharded_chunk_runner(
                 tuple(statics), mode, num_rep, lr, alpha, batch_size,
-                mesh,
+                mesh, ref_gather,
             )
         else:
             mesh = None

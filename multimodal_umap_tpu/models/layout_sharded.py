@@ -35,11 +35,18 @@ trajectory reproduces the single-program path bit-for-bit at draw level
 (reduction order still differs -- equivalence tests use fp tolerance,
 tests/test_sharding.py::test_sharded_layout_matches_single_device).
 
-Scale note: the gathered tables are transient per epoch/chunk but do
-materialize (N, D) per device -- communication is optimal, peak memory
-is not yet O(N/P). A ring-blocked gather is the follow-up if models
-beyond HBM-resident tables are needed (the invert-mode reference table
-is the widest at (N, feature_dim)).
+Scale note: the FIT-mode gathered embedding tables are transient per
+epoch and materialize (N, out_dim) per device -- communication-optimal,
+and small (out_dim=64). The QUERY-mode frozen reference table is the
+wide one ((N, feature_dim): 16 GB per device at 1M x 4096 f32 -- over
+one v5e's HBM), so past ``MMUMAP_REF_GATHER_BYTES`` (default 1 GiB) it
+is never gathered: :func:`_ring_rows` fetches exactly the rows each
+query slot needs by rotating the resident (N/P, D) shard around the
+mesh ring with ``ppermute`` (VERDICT r3 item 6). Attraction rows are
+scan-invariant and ring-gathered ONCE per chunk; negative rows ride one
+ring per epoch (same ICI bytes per epoch as one all-gather, but peak
+memory stays O(N/P + Q*k*D/P) per device). Draws remain full-shape/
+sliced, so the ring trajectory equals the gathered one exactly.
 
 Reference parity: semantics identical to models/layout.py (reference
 impl/model.py:396-481); this module only changes WHERE arrays live and
@@ -69,6 +76,36 @@ from .layout import (
 
 def _slice_rows(full: jax.Array, row0: jax.Array, n_local: int) -> jax.Array:
     return jax.lax.dynamic_slice_in_dim(full, row0, n_local, axis=0)
+
+
+def _ring_rows(ref_shard: jax.Array, ids: jax.Array,
+               p_size: int) -> jax.Array:
+    """Rows of a row-sharded table selected by GLOBAL id, via a
+    ppermute ring: each device serves the ids that fall in its resident
+    shard, then passes the shard to its ring neighbor -- P-1 rotations
+    and no shard ever holds more than one (N/P, D) visitor. Returns
+    ``(*ids.shape, D)`` in the table's storage dtype (bf16 shards ride
+    the ring as raw bits -- same guarantee as ops/knn_stream.knn_ring).
+    Must run inside the engine's shard_map."""
+    r_rows, d = ref_shard.shape
+    me = jax.lax.axis_index(DATA_AXIS)
+    perm = [(j, (j + 1) % p_size) for j in range(p_size)]
+    out = jnp.zeros((*ids.shape, d), ref_shard.dtype)
+    cur = ref_shard
+    for step in range(p_size):
+        lo = ((me - step) % p_size) * r_rows
+        local = ids - lo
+        mask = (local >= 0) & (local < r_rows)
+        rows = cur[jnp.clip(local, 0, r_rows - 1)]
+        out = jnp.where(mask[..., None], rows, out)
+        if step < p_size - 1:
+            if cur.dtype == jnp.bfloat16:
+                bits = jax.lax.bitcast_convert_type(cur, jnp.uint16)
+                bits = jax.lax.ppermute(bits, DATA_AXIS, perm)
+                cur = jax.lax.bitcast_convert_type(bits, jnp.bfloat16)
+            else:
+                cur = jax.lax.ppermute(cur, DATA_AXIS, perm)
+    return out
 
 
 def _fit_modality_loss_local(
@@ -214,6 +251,81 @@ def _query_modality_loss_local(
     return jnp.mean(win_mean) / p_size
 
 
+def _query_modality_loss_ring(
+    embed_local: jax.Array,
+    y_attr: jax.Array,
+    task: LayoutTask,
+    static: TaskStatic,
+    key: jax.Array,
+    *,
+    mode: str,
+    a: jax.Array,
+    b: jax.Array,
+    num_rep: int,
+    batch_size: int,
+    p_size: int,
+) -> jax.Array:
+    """:func:`_query_modality_loss_local` with the frozen reference
+    table kept ROW-SHARDED (``task.ref`` is the local shard): attraction
+    rows arrive pre-gathered per chunk (``y_attr``, scan-invariant);
+    negative rows are fetched per epoch by :func:`_ring_rows`. Draws are
+    full-shape from the same keys as the single-device path, so the
+    trajectory matches within reduction-order fp tolerance. ``sigmas``/
+    ``rhos`` arrive FULL (they are (N,) -- 4 MB at 1M, not worth
+    ringing)."""
+    n_local, k = task.nbrs.shape
+    q = static.num_rows
+    row0 = jax.lax.axis_index(DATA_AXIS) * n_local
+    key_keep, key_neg = jax.random.split(key)
+
+    u = _slice_rows(jax.random.uniform(key_keep, (q, k)), row0, n_local)
+    keep = (u < task.weights).astype(jnp.float32)
+
+    x = embed_local[:, None, :]
+    if mode == "invert":
+        attr = L.inv_attr(x, y_attr, a, b, task.sigmas[task.nbrs])
+    else:
+        attr = L.umap_attr(x, y_attr, a, b)
+
+    if num_rep > 0:
+        # Same per-rep keys/draws as the gathered path (full-shape
+        # randint, sliced local); ONE ring pass serves every rep.
+        neg_idx = jnp.stack([
+            _slice_rows(
+                jax.random.randint(nk, (q, k), 0, static.rep_count),
+                row0, n_local)
+            for nk in jax.random.split(key_neg, num_rep)
+        ])  # (num_rep, n_local, k)
+        y_negs = jax.lax.stop_gradient(
+            _ring_rows(task.ref, neg_idx, p_size))
+
+        def fold_neg(acc, xs):
+            ni, y_neg = xs
+            if mode == "invert":
+                rep = L.inv_rep(x, y_neg, task.sigmas[ni], task.rhos[ni])
+            else:
+                rep = L.umap_rep(x, y_neg, a, b)
+            return acc + rep, None
+
+        rep_sum, _ = jax.lax.scan(
+            fold_neg,
+            jnp.zeros((n_local, k), dtype=jnp.float32),
+            (neg_idx, y_negs),
+        )
+        per_slot = keep * (attr + rep_sum / num_rep)
+    else:
+        per_slot = keep * attr
+
+    row_vals = jax.lax.all_gather(
+        per_slot.sum(axis=1), DATA_AXIS, tiled=True
+    )
+    row_cnt = jax.lax.all_gather(keep.sum(axis=1), DATA_AXIS, tiled=True)
+    win_mean = _window_means_from_rows(
+        row_vals, row_cnt, batch_size, static.num_windows
+    )
+    return jnp.mean(win_mean) / p_size
+
+
 def _make_local_loss_fn(
     statics: typing.Sequence[TaskStatic],
     *,
@@ -226,10 +338,12 @@ def _make_local_loss_fn(
     infonce_temperature: float = 0.5,
 ):
     """Per-device loss whose psum equals models/layout.py:make_loss_fn's
-    global loss, with the module-docstring collective structure."""
+    global loss, with the module-docstring collective structure.
+    ``y_attrs[i]`` non-None routes modality i through the ring engine
+    (sharded ref + pre-gathered attraction rows)."""
     num_modes = len(statics)
 
-    def loss_fn(params, tasks, ab, key):
+    def loss_fn(params, tasks, y_attrs, ab, key):
         a, b = ab
         keys = jax.random.split(key, num_modes + 1)
         total = jnp.float32(0.0)
@@ -268,11 +382,18 @@ def _make_local_loss_fn(
                         total = total + alpha * (l_ij + l_ji) / p_size
         else:
             for i in range(num_modes):
-                total = total + _query_modality_loss_local(
-                    params[i], tasks[i], statics[i], keys[i],
-                    mode=mode, a=a, b=b, num_rep=num_rep,
-                    batch_size=batch_size, p_size=p_size,
-                )
+                if y_attrs is not None and y_attrs[i] is not None:
+                    total = total + _query_modality_loss_ring(
+                        params[i], y_attrs[i], tasks[i], statics[i],
+                        keys[i], mode=mode, a=a, b=b, num_rep=num_rep,
+                        batch_size=batch_size, p_size=p_size,
+                    )
+                else:
+                    total = total + _query_modality_loss_local(
+                        params[i], tasks[i], statics[i], keys[i],
+                        mode=mode, a=a, b=b, num_rep=num_rep,
+                        batch_size=batch_size, p_size=p_size,
+                    )
         return jax.lax.psum(total, DATA_AXIS)
 
     return loss_fn
@@ -323,11 +444,17 @@ def sharded_chunk_runner(
     alpha: float,
     batch_size: int,
     mesh,
+    ref_gather: str = "full",
 ):
     """(optimizer, run_chunk) with models/layout.py:_chunk_runner's
     interface, executing the chunk as ONE jitted shard_map program
-    (scan over epochs inside; Adam on local shards; frozen reference
-    tables gathered once per chunk)."""
+    (scan over epochs inside; Adam on local shards). ``ref_gather``:
+    "full" gathers the frozen reference tables once per chunk (fast,
+    O(N*D) per device); "ring" keeps them row-sharded and fetches rows
+    by ppermute ring (O(N/P) per device -- the beyond-HBM query path,
+    see module docstring)."""
+    if ref_gather not in ("full", "ring"):
+        raise ValueError(f"ref_gather must be full|ring, got {ref_gather!r}")
     p_size = int(mesh.devices.size)
     loss_fn = _make_local_loss_fn(
         statics, mode=mode, num_rep=num_rep, alpha=alpha,
@@ -336,6 +463,7 @@ def sharded_chunk_runner(
     optimizer = optax.adam(lr)
 
     def chunk_body(params, opt_state, tasks, ab, chunk_keys):
+        y_attrs = None
         if mode != "fit":
             def gather(x):
                 return (
@@ -343,19 +471,36 @@ def sharded_chunk_runner(
                     if x is not None else None
                 )
 
-            tasks = tuple(
-                t._replace(
-                    ref=gather(t.ref),
-                    sigmas=gather(t.sigmas),
-                    rhos=gather(t.rhos),
+            if ref_gather == "ring":
+                # Keep the wide (N, D_feat) table sharded; bandwidths
+                # are (N,) -- a full gather is bookkeeping-sized.
+                tasks = tuple(
+                    t._replace(
+                        sigmas=gather(t.sigmas),
+                        rhos=gather(t.rhos),
+                    )
+                    for t in tasks
                 )
-                for t in tasks
-            )
+                # Attraction rows are scan-invariant: ONE ring per chunk.
+                y_attrs = tuple(
+                    jax.lax.stop_gradient(
+                        _ring_rows(t.ref, t.nbrs, p_size))
+                    for t in tasks
+                )
+            else:
+                tasks = tuple(
+                    t._replace(
+                        ref=gather(t.ref),
+                        sigmas=gather(t.sigmas),
+                        rhos=gather(t.rhos),
+                    )
+                    for t in tasks
+                )
 
         def epoch_step(carry, ekey):
             params, opt_state = carry
             loss, grads = jax.value_and_grad(loss_fn)(
-                params, tasks, ab, ekey
+                params, tasks, y_attrs, ab, ekey
             )
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)

@@ -207,3 +207,87 @@ def test_mesh_spectral_matvec_is_all_gather_only(mesh):
     assert by_kind.get("all-reduce", 0) < 8 * m * m * 4, by_kind
     assert by_kind.get("all-gather", 0) > 0
     assert by_kind.get("all-to-all", 0) == 0
+
+
+def _query_setup(mesh, mode, q=256, seed=7):
+    rng = np.random.default_rng(seed)
+    shard = NamedSharding(mesh, P(DATA_AXIS, None))
+    nbrs = rng.integers(0, N, size=(q, K)).astype(np.int32)
+    w = rng.uniform(0.1, 1.0, size=(q, K)).astype(np.float32)
+    ref = rng.normal(size=(N, D)).astype(np.float32)
+    kwargs = {}
+    if mode == "invert":
+        shard1 = NamedSharding(mesh, P(DATA_AXIS))
+        kwargs = dict(
+            sigmas=jax.device_put(jnp.asarray(
+                rng.uniform(0.5, 1.5, size=(N,)).astype(np.float32)),
+                shard1),
+            rhos=jax.device_put(jnp.asarray(
+                rng.uniform(0.0, 0.5, size=(N,)).astype(np.float32)),
+                shard1),
+        )
+    task, static = query_task(
+        jax.device_put(jnp.asarray(nbrs), shard),
+        jax.device_put(jnp.asarray(w), shard),
+        batch_size=128,
+        ref=jax.device_put(jnp.asarray(ref), shard),
+        **kwargs,
+    )
+    params = (jax.device_put(
+        jnp.asarray(rng.normal(size=(q, D)).astype(np.float32)), shard
+    ),)
+    return task, static, params
+
+
+@pytest.mark.parametrize("mode", ["transform", "invert"])
+def test_ring_query_chunk_has_no_table_all_gather(mesh, mode):
+    """VERDICT r3 item 6: with ref_gather="ring" the lowered query
+    chunk must contain NO all-gather of the (N, D) frozen reference
+    table -- rows move only as (N/P, D) collective-permutes. The (N,)
+    bandwidth gathers and (Q,) bookkeeping stay."""
+    task, static, params = _query_setup(mesh, mode)
+    _, run_chunk = sharded_chunk_runner(
+        (static,), mode, 4, 0.01, 0.0, 128, mesh, "ring"
+    )
+    opt_state = optax.adam(0.01).init(params)
+    ab = (jnp.float32(1.577), jnp.float32(0.8951))
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    hlo = run_chunk(params, opt_state, (task,), ab, keys, lower_only=True)
+    s = collective_summary(hlo)
+    ref_bytes = N * D * 4
+    table_gathers = [
+        b for kind, _, b in s["ops"]
+        if kind == "all-gather" and b >= ref_bytes
+    ]
+    assert not table_gathers, s["ops"]
+    assert any(kind == "collective-permute" for kind, _, b in s["ops"]), \
+        s["ops"]
+    big_ar = [b for kind, _, b in s["ops"]
+              if kind == "all-reduce" and b >= ref_bytes]
+    assert not big_ar, s["ops"]
+
+
+@pytest.mark.parametrize("mode", ["transform", "invert"])
+def test_ring_query_engine_matches_full_gather(mesh, mode):
+    """The ring engine must reproduce the gathered engine's trajectory
+    (same full-shape draws, same keys) within reduction-order fp
+    tolerance."""
+    task, static, params = _query_setup(mesh, mode)
+    ab = (jnp.float32(1.577), jnp.float32(0.8951))
+    keys = jax.random.split(jax.random.PRNGKey(2), 4)
+
+    results = {}
+    for gather_mode in ("full", "ring"):
+        _, run_chunk = sharded_chunk_runner(
+            (static,), mode, 4, 0.01, 0.0, 128, mesh, gather_mode
+        )
+        # donate_argnums: hand each engine its own param/opt copies.
+        p = tuple(jnp.array(x, copy=True) for x in params)
+        opt_state = optax.adam(0.01).init(p)
+        out, _, hist = run_chunk(p, opt_state, (task,), ab, keys)
+        results[gather_mode] = (np.asarray(out[0]), np.asarray(hist))
+
+    np.testing.assert_allclose(
+        results["ring"][1], results["full"][1], rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(
+        results["ring"][0], results["full"][0], rtol=2e-4, atol=2e-5)
