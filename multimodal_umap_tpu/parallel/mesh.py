@@ -67,9 +67,13 @@ def shard_task(plan: ShardingPlan, task, init_embed: jax.Array):
     """Places a LayoutTask + its initial embeddings on the mesh.
 
     (N, k)/(Q, k) slot arrays and the padded column map shard on rows;
-    the embedding parameters shard on rows; frozen references and
-    fit-time bandwidths replicate so per-slot gathers stay local after
-    one all-gather of the (small) table.
+    the embedding parameters shard on rows. Frozen reference tables
+    shard on rows too (``plan.rows`` falls back to replication when
+    indivisible): the shard_map engine gathers or rings them explicitly
+    per chunk (models/layout_sharded.py), and replicating here would
+    materialize the full (N, D_feat) table per device -- the exact
+    memory term the ring engine exists to avoid. Fit-time bandwidths
+    ((N,) arrays) replicate so per-slot reads stay local.
     """
 
     def maybe_rows(x):
@@ -82,7 +86,7 @@ def shard_task(plan: ShardingPlan, task, init_embed: jax.Array):
         nbrs=plan.rows(task.nbrs),
         weights=plan.rows(task.weights),
         bwd_valid=maybe_rows(task.bwd_valid),
-        ref=maybe_repl(task.ref),
+        ref=maybe_rows(task.ref),
         sigmas=maybe_repl(task.sigmas),
         rhos=maybe_repl(task.rhos),
     )
