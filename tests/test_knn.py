@@ -2,8 +2,11 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from multimodal_umap_tpu.ops.knn import knn
+
+pytestmark = pytest.mark.fast
 
 
 def _brute_knn(q, r, k, exclude_self=False):

@@ -8,6 +8,7 @@ distances (SURVEY.md §5.7 design; VERDICT round 1 task 7).
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from multimodal_umap_tpu.ops.knn import knn
 from multimodal_umap_tpu.ops.knn_stream import (
@@ -16,6 +17,8 @@ from multimodal_umap_tpu.ops.knn_stream import (
     pad_rows_to_multiple,
 )
 from multimodal_umap_tpu.parallel import create_mesh
+
+pytestmark = pytest.mark.fast
 
 
 def test_streamed_matches_exact_self_graph(rng):

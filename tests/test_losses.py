@@ -5,6 +5,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from multimodal_umap_tpu.ops import losses as L
+import pytest
+
+pytestmark = pytest.mark.fast
 
 
 def test_umap_attr_closed_form(rng):

@@ -3,11 +3,14 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from multimodal_umap_tpu.ops.scatter_free import (
     permutation_gather,
     random_permutation_pair,
 )
+
+pytestmark = pytest.mark.fast
 
 
 

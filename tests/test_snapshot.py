@@ -12,6 +12,8 @@ import pytest
 
 from multimodal_umap_tpu.utils.snapshot import SnapshotWriter, to_host_memory
 
+pytestmark = pytest.mark.fast
+
 
 def test_latest_snapshot_wins_and_flush_is_durable(tmp_path):
     path = str(tmp_path / "snap.npz")

@@ -6,6 +6,9 @@ import numpy as np
 from multimodal_umap_tpu.ops.graph import fuzzy_weights, symmetrize
 from multimodal_umap_tpu.ops.knn import knn
 from multimodal_umap_tpu.ops.spectral import spectral_embedding
+import pytest
+
+pytestmark = pytest.mark.fast
 
 
 def _graph(rng, n=300, d=10, k=8):
