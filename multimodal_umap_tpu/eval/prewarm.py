@@ -197,6 +197,15 @@ def start_eval_prewarm(
             status["error"] = exc
             print(f"[prewarm] eval prewarm failed (run unaffected): {exc!r}",
                   flush=True)
+        finally:
+            # Release the forged state's aliases of the REAL feature
+            # tables the moment the warm calls are done (ADVICE r3
+            # item 1): above _DATA_OFFLOAD_BYTES the main fit parks its
+            # tables in host memory during the layout phase, and HBM
+            # only frees once no reference pins the device buffers.
+            # (Thread._bootstrap_inner drops the closure on exit too;
+            # this makes the release explicit and exception-safe.)
+            model = None  # noqa: F841
 
     thread = threading.Thread(target=work, name="eval-prewarm", daemon=True)
     # Observable outcome for tests: status["error"] is None on success.

@@ -106,7 +106,11 @@ def main():
     # Hand table ownership to the model (pop + rvalue list): past the
     # offload threshold fit parks the tables in host memory during the
     # layout phase, which only frees HBM if no caller reference pins
-    # the device buffers. Eval below touches only `test` and model state.
+    # the device buffers. The prewarm thread aliases the tables too
+    # (f32 runs only) but releases them as soon as its warm calls
+    # finish -- within the graph phase, before the layout offload
+    # (eval/prewarm.py, ADVICE r3 item 1); eval below touches only
+    # `test` and model state.
     model.fit([train.pop(k) for k in list(train)], epochs=cfg.train_epochs,
               num_rep=cfg.num_rep, lr=cfg.lr, alpha=cfg.alpha,
               batch_size=cfg.batch_size, **fit_kwargs)
