@@ -190,14 +190,18 @@ def test_graph_cache_rejects_mismatched_data(blobs, tmp_path):
 
 def test_adaptive_epoch_chunk_bounds():
     """Chunks shrink with N (one chunk = one dispatch; the tunneled
-    worker dies under multi-minute dispatches) within [4, 100]."""
+    worker dies under long dispatches), dropping harder past the
+    modality-remat threshold where the epoch itself is ~3-5x the
+    small-N extrapolation (a 30-epoch 524k dispatch measured as a
+    reproducible worker fault, round 4)."""
     from multimodal_umap_tpu.models.layout import default_epoch_chunk
 
     assert default_epoch_chunk(160) == 100
     assert default_epoch_chunk(31744) == 100
-    assert default_epoch_chunk(524288) == 30
-    assert default_epoch_chunk(1048576) == 15
-    assert default_epoch_chunk(10_000_000) == 4
+    assert default_epoch_chunk(262144) == 61
+    assert default_epoch_chunk(524288) == 6
+    assert default_epoch_chunk(1048576) == 3
+    assert default_epoch_chunk(10_000_000) == 2
 
 
 def test_snapshot_throttle_and_final_save(blobs, tmp_path, monkeypatch):
