@@ -507,6 +507,13 @@ def default_epoch_chunk(num_rows: int) -> int:
     env = os.environ.get("MMUMAP_EPOCH_CHUNK")
     if env:
         return max(1, int(env))
+    if num_rows > 600_000:
+        # XLA double-buffers scan iterations: any chunk >= 2 keeps TWO
+        # epochs' temps live (AOT-measured at 1M: 11.85 GiB peak at
+        # chunk 1 vs 16.29 -- over HBM -- at chunk 2;
+        # tools/probe_layout_memory.py). One epoch per dispatch is the
+        # only configuration that fits past ~600k rows on one v5e.
+        return 1
     if num_rows > _MODALITY_REMAT_ROWS:
         return max(2, min(100, int(3.2e6 / num_rows)))
     return max(4, min(100, int(1.6e7 / max(num_rows, 1))))

@@ -200,8 +200,9 @@ def test_adaptive_epoch_chunk_bounds():
     assert default_epoch_chunk(31744) == 100
     assert default_epoch_chunk(262144) == 61
     assert default_epoch_chunk(524288) == 6
-    assert default_epoch_chunk(1048576) == 3
-    assert default_epoch_chunk(10_000_000) == 2
+    assert default_epoch_chunk(1048576) == 1  # one epoch's temps + the
+    # scan's double-buffered next iteration is all that fits at 1M
+    assert default_epoch_chunk(10_000_000) == 1
 
 
 def test_snapshot_throttle_and_final_save(blobs, tmp_path, monkeypatch):
