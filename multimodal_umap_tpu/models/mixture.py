@@ -736,6 +736,16 @@ class MultimodalUMAP:
         )
         if total >= _DATA_OFFLOAD_BYTES:
             self.data = [_to_host_memory(x) for x in self.data]
+            # The D2H copies are async and PJRT pins the HBM source
+            # buffers until they land (~0.25 s/GiB). The layout chunk
+            # that follows needs nearly the whole chip (11.85 GiB AOT
+            # peak at 1M) -- with a warm compile cache it dispatches
+            # within the copy window and the still-resident tables
+            # (9.5 GiB bf16 at 1M) overcommit HBM (the round-4 1M
+            # first-chunk RESOURCE_EXHAUSTED, 3/3 attempts). Block here:
+            # offload runs once per fit, off every hot path.
+            jax.block_until_ready(
+                [x for x in self.data if isinstance(x, jax.Array)])
 
     def _data_dev(self, i: int) -> jax.Array:
         """Device copy of feature table ``i``, re-cached on device (the
