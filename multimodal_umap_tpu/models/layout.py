@@ -375,20 +375,31 @@ def make_loss_fn(
     n_neg_infonce: int = 8,
     infonce_temperature: float = 0.5,
     deterministic: bool = False,
+    terms: str = "all",
 ):
     """Builds the total-loss function for one epoch.
 
     Signature of the returned fn: ``loss(params, tasks, ab, key)`` where
     ``params`` is a tuple of per-modality embedding arrays, ``tasks`` a
     tuple of LayoutTask pytrees, and ``ab`` the (a, b) curve pair.
+
+    ``terms`` selects which addends of the fit loss the function
+    computes: ``"all"`` (the total), ``"modality"`` (per-modality
+    attraction + repulsion only) or ``"infonce"`` (the symmetric
+    InfoNCE alignment only). The per-epoch key is split identically in
+    every case, so ``loss("modality") + loss("infonce") ==
+    loss("all")`` exactly, randomness included -- the split-dispatch
+    epoch engine (:func:`_split_chunk_runner`) relies on this.
     """
     num_modes = len(statics)
+    if terms not in ("all", "modality", "infonce"):
+        raise ValueError(f"invalid terms: {terms}")
 
     def loss_fn(params, tasks, ab, key):
         a, b = ab
         keys = jax.random.split(key, num_modes + 1)
         total = jnp.float32(0.0)
-        for i in range(num_modes):
+        for i in range(num_modes if terms != "infonce" else 0):
             if mode == "fit":
                 def fit_loss(p, task, ab_, k, i=i):
                     return _fit_modality_loss(
@@ -412,7 +423,8 @@ def make_loss_fn(
                     mode=mode, a=a, b=b, num_rep=num_rep,
                     batch_size=batch_size, deterministic=deterministic,
                 )
-        if mode == "fit" and num_modes > 1 and alpha != 0.0:
+        if (terms != "modality" and mode == "fit" and num_modes > 1
+                and alpha != 0.0):
             # Symmetric InfoNCE added to both modality buckets => 2*alpha
             # effective weight (SURVEY.md §2.10c). Memory at scale is
             # handled inside the loss itself: past 64k rows it streams
@@ -487,6 +499,93 @@ def _chunk_runner(
     return optimizer, run_chunk
 
 
+def _split_grad_rows() -> int:
+    """Row count past which single-device fits use the split-dispatch
+    epoch engine (``MMUMAP_SPLIT_GRAD_ROWS`` overrides)."""
+    return int(os.environ.get("MMUMAP_SPLIT_GRAD_ROWS", 600_000))
+
+
+@functools.lru_cache(maxsize=16)
+def _split_chunk_runner(
+    statics: tuple,
+    num_rep: int,
+    lr: float,
+    alpha: float,
+    batch_size: int,
+):
+    """Three-dispatch fit epoch for beyond-HBM single-device scales.
+
+    The fused epoch program at 1M rows needs 10.07 GiB of XLA temps:
+    its parts account for only 7.44 (attraction 2.58 + repulsion 2.96 +
+    InfoNCE 1.90) -- XLA schedules the InfoNCE and modality backward
+    transients to OVERLAP, and neither remat nor donation changes that
+    within one program (AOT ablation, tools/probe_layout_memory.py).
+    Compiling the addends as SEPARATE dispatches is a scheduling
+    barrier XLA cannot undo:
+
+      1. value_and_grad of the per-modality attraction+repulsion loss;
+      2. value_and_grad of the symmetric InfoNCE loss;
+      3. Adam update on the summed grads (donates params/opt_state).
+
+    Peak live bytes become max(dispatch peaks) + the held grads
+    (~0.5 GiB at 1M/D=64) instead of the fused program's joint peak:
+    11.85 -> ~7.9 GiB at 1M, the difference between RESOURCE_EXHAUSTED
+    (3/3 attempts, round 4) and fitting. Both sub-losses split the
+    epoch key exactly as the fused loss does, so the optimization
+    trajectory is bit-identical to the fused engine's
+    (tests/test_layout_split.py). Costs two extra dispatches per epoch
+    (~0.1-0.3 s of tunnel RPC vs the ~10 s 1M epoch).
+
+    Fit mode only: transform/invert have no InfoNCE term and their
+    (Q, k)-dense losses never approach HBM.
+    """
+    loss_mod = make_loss_fn(
+        statics, mode="fit", num_rep=num_rep, alpha=alpha,
+        batch_size=batch_size, terms="modality",
+    )
+    loss_nce = make_loss_fn(
+        statics, mode="fit", num_rep=num_rep, alpha=alpha,
+        batch_size=batch_size, terms="infonce",
+    )
+    optimizer = optax.adam(lr)
+    grad_mod = jax.jit(jax.value_and_grad(loss_mod))
+    has_nce = len(statics) > 1 and alpha != 0.0
+    grad_nce = jax.jit(jax.value_and_grad(loss_nce)) if has_nce else None
+
+    @functools.partial(
+        jax.jit, donate_argnames=("params", "opt_state", "g_mod", "g_nce")
+    )
+    def apply_update(params, opt_state, g_mod, g_nce):
+        grads = jax.tree_util.tree_map(jnp.add, g_mod, g_nce)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    @functools.partial(
+        jax.jit, donate_argnames=("params", "opt_state", "g_mod")
+    )
+    def apply_update_mod(params, opt_state, g_mod):
+        updates, opt_state = optimizer.update(g_mod, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    def run_chunk(params, opt_state, tasks, ab, chunk_keys):
+        losses = []
+        for i in range(chunk_keys.shape[0]):
+            key = chunk_keys[i]
+            loss, g_mod = grad_mod(params, tasks, ab, key)
+            if has_nce:
+                l_nce, g_nce = grad_nce(params, tasks, ab, key)
+                loss = loss + l_nce
+                params, opt_state = apply_update(
+                    params, opt_state, g_mod, g_nce)
+            else:
+                params, opt_state = apply_update_mod(
+                    params, opt_state, g_mod)
+            losses.append(loss)
+        return params, opt_state, jnp.stack(losses)
+
+    return optimizer, run_chunk
+
+
 def default_epoch_chunk(num_rows: int) -> int:
     """N-adaptive scan length for the epoch chunks.
 
@@ -537,6 +636,7 @@ def train_layout(
     chunk_callback=None,
     start_epoch: int = 0,
     init_opt_state=None,
+    consume_inits: bool = False,
 ) -> tuple[list[jax.Array], jax.Array]:
     """Runs the full-batch Adam layout optimization.
 
@@ -566,6 +666,11 @@ def train_layout(
     params = tuple(
         jnp.array(e, dtype=jnp.float32, copy=True) for e in init_embeds
     )
+    if consume_inits and isinstance(init_embeds, list):
+        # The caller handed over ownership: release the original init
+        # buffers now that the working copies exist -- at 1M/D=64 the
+        # spectral inits are 512 MB of HBM the epoch program needs.
+        init_embeds.clear()
 
     # Pin mesh-sharded parameters to their input placement: at small
     # sizes GSPMD may otherwise resolve outputs to replicated.
@@ -611,10 +716,18 @@ def train_layout(
         else:
             mesh = None
     if mesh is None:
-        optimizer, run_chunk = _chunk_runner(
-            tuple(statics), mode, num_rep, lr, alpha, batch_size,
-            param_shardings,
-        )
+        if (mode == "fit"
+                and max(s.num_rows for s in statics) > _split_grad_rows()):
+            # Beyond-HBM single-device fit: the fused epoch's scheduled
+            # peak overcommits the chip (see _split_chunk_runner).
+            optimizer, run_chunk = _split_chunk_runner(
+                tuple(statics), num_rep, lr, alpha, batch_size,
+            )
+        else:
+            optimizer, run_chunk = _chunk_runner(
+                tuple(statics), mode, num_rep, lr, alpha, batch_size,
+                param_shardings,
+            )
     opt_state = (
         init_opt_state if init_opt_state is not None
         else optimizer.init(params)

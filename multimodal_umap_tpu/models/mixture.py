@@ -386,6 +386,12 @@ class MultimodalUMAP:
             progress_path, resume, self.num_encoders, lr, plan)
         if snap_inits is not None:
             inits = snap_inits
+        # Hand init ownership to the layout (consume_inits): fit never
+        # reads the spectral inits again, and at 1M/D=64 they are
+        # 512 MB of HBM the epoch program needs. The cache dict aliases
+        # them too (resume path) -- drop it for the same reason.
+        cached = snap_inits = None
+        inits = list(inits)
 
         with self.timer.phase("fit/layout"):
             embeds, hist = train_layout(
@@ -404,6 +410,7 @@ class MultimodalUMAP:
                 chunk_callback=callback,
                 start_epoch=start_epoch,
                 init_opt_state=init_opt_state,
+                consume_inits=True,
             )
         self.embeds = embeds
         self.loss_history["fit"] = np.asarray(hist)

@@ -9,9 +9,12 @@ prints XLA's static buffer accounting (`compiled.memory_analysis()`),
 so an HBM overcommit shows up as numbers instead of a dead worker.
 
 Usage: python -u tools/probe_layout_memory.py <graphs.npz> [epoch_chunk]
-           [alpha] [num_rep]
+           [alpha] [num_rep] [split]
        python -u tools/probe_layout_memory.py synth:<n>[,k,d,m]
-           [epoch_chunk] [alpha] [num_rep]
+           [epoch_chunk] [alpha] [num_rep] [split]
+
+A trailing ``split`` probes the split-dispatch engine's three programs
+(models/layout.py _split_chunk_runner) instead of the fused chunk.
 
 ``alpha``/``num_rep`` ablate the InfoNCE / repulsion terms to localize
 which loss component owns the temp bytes. The ``synth:`` form probes a
@@ -51,6 +54,9 @@ def _synth_shapes(spec: str):
 
 
 def main():
+    split = "split" in sys.argv
+    if split:
+        sys.argv = [a for a in sys.argv if a != "split"]
     path = sys.argv[1]
     if path.startswith("synth:"):
         denses, inits = _synth_shapes(path)
@@ -86,33 +92,66 @@ def main():
     print(f"n={n} epoch_chunk={chunk} "
           f"edge_slots={[d.nbrs.shape for d in denses]}")
 
+    params = tuple(jax.ShapeDtypeStruct(i.shape, jnp.float32)
+                   for i in inits)
+    ab = (jax.ShapeDtypeStruct((), jnp.float32),) * 2
+
+    def report(compiled, label=""):
+        ma = compiled.memory_analysis()
+        if ma is None:
+            print("memory_analysis unavailable on this backend")
+            return
+        gb = 1 / (1 << 30)
+        if label:
+            print(f"-- {label}")
+        print(f"arguments : {ma.argument_size_in_bytes * gb:8.2f} GiB")
+        print(f"outputs   : {ma.output_size_in_bytes * gb:8.2f} GiB")
+        print(f"temps     : {ma.temp_size_in_bytes * gb:8.2f} GiB")
+        print(f"aliased   : {ma.alias_size_in_bytes * gb:8.2f} GiB")
+        print(f"code      : {ma.generated_code_size_in_bytes * gb:8.2f} GiB")
+        peak = (ma.argument_size_in_bytes + ma.output_size_in_bytes
+                + ma.temp_size_in_bytes - ma.alias_size_in_bytes)
+        print(f"peak (arg+out+temp-alias): {peak * gb:8.2f} GiB "
+              f"of ~16 GiB HBM")
+
+    if split:
+        import optax
+
+        key = jax.ShapeDtypeStruct((2,), jnp.uint32)
+        grads = params
+        opt_state = jax.eval_shape(optax.adam(lr).init, params)
+        for label, terms in (("grad_mod", "modality"),
+                             ("grad_nce", "infonce")):
+            loss = LY.make_loss_fn(
+                tuple(statics), mode="fit", num_rep=num_rep, alpha=alpha,
+                batch_size=batch_size, terms=terms)
+            fn = jax.jit(jax.value_and_grad(loss))
+            report(fn.lower(params, tuple(tasks), ab, key).compile(),
+                   label)
+
+        optimizer = optax.adam(lr)
+
+        def apply_update(p, s, g1, g2):
+            g = jax.tree_util.tree_map(jnp.add, g1, g2)
+            updates, s = optimizer.update(g, s, p)
+            return optax.apply_updates(p, updates), s
+
+        fn = jax.jit(apply_update, donate_argnums=(0, 1, 2, 3))
+        report(fn.lower(params, opt_state, grads, grads).compile(),
+               "apply_update")
+        return
+
     optimizer, run_chunk = LY._chunk_runner(
         tuple(statics), "fit", num_rep, lr, alpha, batch_size,
         tuple(None for _ in inits),
     )
-    params = tuple(jax.ShapeDtypeStruct(i.shape, jnp.float32)
-                   for i in inits)
     opt_state = jax.eval_shape(optimizer.init, params)
-    ab = (jax.ShapeDtypeStruct((), jnp.float32),) * 2
     keys = jax.ShapeDtypeStruct((chunk, 2), jnp.uint32)
     lowered = jax.jit(
         run_chunk.__wrapped__,  # unwrap the donation jit to re-jit AOT
         donate_argnums=(0, 1),
     ).lower(params, opt_state, tuple(tasks), ab, keys)
-    compiled = lowered.compile()
-    ma = compiled.memory_analysis()
-    if ma is None:
-        print("memory_analysis unavailable on this backend")
-        return
-    gb = 1 / (1 << 30)
-    print(f"arguments : {ma.argument_size_in_bytes * gb:8.2f} GiB")
-    print(f"outputs   : {ma.output_size_in_bytes * gb:8.2f} GiB")
-    print(f"temps     : {ma.temp_size_in_bytes * gb:8.2f} GiB")
-    print(f"aliased   : {ma.alias_size_in_bytes * gb:8.2f} GiB")
-    print(f"code      : {ma.generated_code_size_in_bytes * gb:8.2f} GiB")
-    peak = (ma.argument_size_in_bytes + ma.output_size_in_bytes
-            + ma.temp_size_in_bytes - ma.alias_size_in_bytes)
-    print(f"peak (arg+out+temp-alias): {peak * gb:8.2f} GiB of ~16 GiB HBM")
+    report(lowered.compile())
 
 
 if __name__ == "__main__":
