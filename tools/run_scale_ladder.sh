@@ -1,7 +1,9 @@
 #!/bin/bash
 # Beyond-flickr scale ladder on the one real chip: 31k sanity check,
 # then 524k and 1M full pipelines (bf16 feature storage past the f32
-# HBM ceiling), each with crash-resume state under /tmp/mmumap_ladder.
+# HBM ceiling), each with crash-resume state under MMUMAP_LADDER_DIR
+# (default <repo>/.ladder, gitignored: /tmp is wiped between build
+# rounds and round 3 lost its 1M graph snapshots exactly that way).
 # ONE TPU process at a time (axon); run this script alone.
 #
 # Each rung retries up to MMUMAP_LADDER_TRIES times (default 3): the
@@ -13,17 +15,18 @@
 # Usage: bash tools/run_scale_ladder.sh [start_rung]
 set -u
 cd "$(dirname "$0")/.."
-mkdir -p /tmp/mmumap_ladder
+LADDER_DIR="${MMUMAP_LADDER_DIR:-$PWD/.ladder}"
+mkdir -p "$LADDER_DIR"
 START="${1:-31744}"
 TRIES="${MMUMAP_LADDER_TRIES:-3}"
 
 run() {
   local n="$1" dtype="$2" timeout_s="$3"
   for try in $(seq 1 "$TRIES"); do
-    local log="/tmp/mmumap_ladder/e2e_${n}_try${try}.log"
+    local log="$LADDER_DIR/e2e_${n}_try${try}.log"
     echo "=== N=$n dtype=$dtype try=$try $(date +%H:%M:%S) -> $log"
     timeout -k 30 "$timeout_s" python -u tools/run_flickr_scale_e2e.py \
-      "$n" 1024 "$dtype" "/tmp/mmumap_ladder/resume_${n}" 2>&1 | tee "$log"
+      "$n" 1024 "$dtype" "$LADDER_DIR/resume_${n}" 2>&1 | tee "$log"
     local rc=${PIPESTATUS[0]}
     echo "=== N=$n try=$try exit=$rc $(date +%H:%M:%S)"
     # Tunnel sessions need a beat to reap before the next process.
