@@ -68,7 +68,7 @@ def _sync(x):
 
 
 def run_small(n: int, epochs: int, k: int, out_dim: int,
-              dims=(128, 128)) -> dict:
+              dims=(128, 128), reps: int = 3) -> dict:
     import jax
 
     from multimodal_umap_tpu.data.synthetic import (
@@ -91,18 +91,34 @@ def run_small(n: int, epochs: int, k: int, out_dim: int,
              alpha=1.0, batch_size=256)
     _sync(warm.embeds)
 
-    model = MultimodalUMAP(
-        k_neighbors=k, out_dim=out_dim, min_dist=0.1, num_encoders=2
-    )
-    t0 = time.perf_counter()
-    model.fit(arrays, epochs=epochs, num_rep=8, lr=0.01, alpha=1.0,
-              batch_size=256)
-    _sync(model.embeds)
-    elapsed = time.perf_counter() - t0
+    # Best-of-reps measured fits (VERDICT r4 item 3): the axon tunnel
+    # stalls intermittently for ~seconds, and a single measured fit at
+    # ~1.5-2.5 s wall is exactly the scale those stalls corrupt -- the
+    # r2->r4 "regression" (1.681 -> 2.548 s at identical config while
+    # layout_epoch_ms held flat at ~49.5) was tunnel noise, not code.
+    # Same rationale as measure_knn_mfu's best-of-reps. Each rep's
+    # inputs are perturbed by a rep-distinct epsilon so the tunnel's
+    # identical-input jit memoization can never serve a cached fit.
+    elapsed = float("inf")
+    final_loss = float("nan")
+    for rep in range(max(1, reps)):
+        rep_arrays = [a + (1e-6 * (rep + 1)) for a in arrays]
+        _sync(rep_arrays)
+        model = MultimodalUMAP(
+            k_neighbors=k, out_dim=out_dim, min_dist=0.1, num_encoders=2
+        )
+        t0 = time.perf_counter()
+        model.fit(rep_arrays, epochs=epochs, num_rep=8, lr=0.01, alpha=1.0,
+                  batch_size=256)
+        _sync(model.embeds)
+        rep_elapsed = time.perf_counter() - t0
+        if rep_elapsed < elapsed:
+            elapsed = rep_elapsed
+            final_loss = float(model.loss_history["fit"][-1])
 
     return {
         "elapsed_s": elapsed,
-        "final_loss": float(model.loss_history["fit"][-1]),
+        "final_loss": final_loss,
         "device": str(jax.devices()[0]),
     }
 
@@ -177,12 +193,22 @@ def run_flickr_scale(n_train: int = 31744, n_test: int = 1024) -> dict:
         for i in range(2)
     ]
 
-    # Floor gates (VERDICT r2 task 4): knn@1 >= 20x the random-pairing
-    # rate (k_test / n_test) and trustworthiness >= 0.95 per modality.
-    # A scale-only quality regression trips these even when the small-N
-    # parity gates stay green.
-    knn1_floor = 20.0 * (1.0 / n_test)
-    gates_ok = bool(acc >= knn1_floor and min(trust) >= 0.95)
+    # Regression-detector gates (VERDICT r4 item 4): the r2-r4 floors
+    # (20x random knn@1, 0.95 trust) would stay green through a 2x
+    # quality loss. These floors sit just under the measured round-4
+    # steady state (cosine 0.9992, knn@1 0.4487, recon MSE 1.13-1.24,
+    # trust 0.9994) so a real quality regression -- not tunnel noise --
+    # trips them.
+    knn1_floor = 0.35
+    cosine_floor = 0.995
+    recon_mse_ceiling = 1.5
+    trust_floor = 0.99
+    gates_ok = bool(
+        acc >= knn1_floor
+        and sim >= cosine_floor
+        and mse <= recon_mse_ceiling
+        and min(trust) >= trust_floor
+    )
 
     return {
         "knn1_floor": knn1_floor,
@@ -435,10 +461,12 @@ def main() -> None:
         # Gates are part of the bench contract: fail loudly AFTER the
         # JSON line so the driver still records the numbers.
         raise AssertionError(
-            "31k quality floor gates failed: "
+            "31k quality gates failed (floors: knn1>=0.35 cosine>=0.995 "
+            "recon_mse<=1.5 trust>=0.99): "
             f"knn1={record.get('flickr31k_knn1')} "
-            f"(floor {record.get('flickr31k_knn1_floor')}), "
-            f"trust={record.get('flickr31k_trust')} (floor 0.95)"
+            f"cosine={record.get('flickr31k_cosine')} "
+            f"recon_mse={record.get('flickr31k_recon_mse')} "
+            f"trust={record.get('flickr31k_trust')}"
         )
 
 

@@ -49,6 +49,41 @@ def sync(x):
     return x
 
 
+def mem_report(tag: str) -> None:
+    """One line of allocator truth: what the chip says it holds."""
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+
+        def gib(k):
+            return stats.get(k, 0) / 2**30
+
+        print(f"[mem {tag}] in_use={gib('bytes_in_use'):.2f} "
+              f"peak={gib('peak_bytes_in_use'):.2f} "
+              f"limit={gib('bytes_limit'):.2f} "
+              f"largest_alloc={gib('largest_alloc_size'):.2f} GiB",
+              flush=True)
+    except Exception as e:  # stats API varies by backend
+        print(f"[mem {tag}] unavailable: {e}", flush=True)
+
+
+def dump_live_arrays(top: int = 20) -> None:
+    """The biggest live jax.Arrays and where they live (HBM vs host):
+    the OOM diagnostic that tells resident state from dispatch temps."""
+    try:
+        arrs = sorted(jax.live_arrays(),
+                      key=lambda a: -(a.size * a.dtype.itemsize))
+        for a in arrs[:top]:
+            kind = getattr(a.sharding, "memory_kind", "?")
+            print(f"  live {str(a.shape):>18} {str(a.dtype):>9} "
+                  f"{a.size * a.dtype.itemsize / 2**30:7.3f} GiB  {kind}",
+                  flush=True)
+        rest = sum(a.size * a.dtype.itemsize for a in arrs[top:])
+        print(f"  ... +{len(arrs) - top} more arrays, "
+              f"{rest / 2**30:.3f} GiB", flush=True)
+    except Exception as e:
+        print(f"  live-array dump unavailable: {e}", flush=True)
+
+
 def main():
     enable_compilation_cache()
     n_train = int(sys.argv[1]) if len(sys.argv) > 1 else 31744
@@ -111,9 +146,20 @@ def main():
     # finish -- within the graph phase, before the layout offload
     # (eval/prewarm.py, ADVICE r3 item 1); eval below touches only
     # `test` and model state.
-    model.fit([train.pop(k) for k in list(train)], epochs=cfg.train_epochs,
-              num_rep=cfg.num_rep, lr=cfg.lr, alpha=cfg.alpha,
-              batch_size=cfg.batch_size, **fit_kwargs)
+    mem_report("pre-fit")
+    try:
+        model.fit([train.pop(k) for k in list(train)],
+                  epochs=cfg.train_epochs,
+                  num_rep=cfg.num_rep, lr=cfg.lr, alpha=cfg.alpha,
+                  batch_size=cfg.batch_size, **fit_kwargs)
+    except Exception:
+        # OOM forensics: allocator state + the biggest live buffers
+        # (the traceback pins the failing frame's arrays live, so the
+        # dump distinguishes resident state from dispatch temps).
+        mem_report("at-failure")
+        dump_live_arrays()
+        raise
+    mem_report("post-fit")
     sync(model.embeds)
     t_fit = time.perf_counter() - t0
     print(f"fit: {t_fit:.1f}s  phases: "
