@@ -573,6 +573,21 @@ def _split_chunk_runner(
             key = chunk_keys[i]
             loss, g_mod = grad_mod(params, tasks, ab, key)
             if has_nce:
+                # Serialize the two big-gradient dispatches with a true
+                # host sync (on axon only readback drains the queue,
+                # block_until_ready does not): enqueued-but-unexecuted
+                # programs hold their temp reservations, and grad_mod
+                # (4.72 GiB temps at 1M) co-reserved with grad_nce
+                # (6.87 GiB) plus ~2.3 GiB of residents lands at ~14.9
+                # GiB -- the measured edge of the chip's ~15 GiB
+                # allocatable HBM (RESOURCE_EXHAUSTED on the real 1M
+                # run, 2/2 tries; probe: tools/probe_dispatch_overlap
+                # .py + the live-array forensics in the .ladder diag
+                # log). The scalar readback costs one tunnel RTT per
+                # epoch against a ~10 s 1M epoch; it caps the peak at
+                # max(dispatch)+residents ~= 9.7 GiB. float(f32) is
+                # exact, so the recorded history is bit-identical.
+                loss = float(loss)
                 l_nce, g_nce = grad_nce(params, tasks, ab, key)
                 loss = loss + l_nce
                 params, opt_state = apply_update(
