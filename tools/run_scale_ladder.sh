@@ -4,6 +4,9 @@
 # HBM ceiling), each with crash-resume state under MMUMAP_LADDER_DIR
 # (default <repo>/.ladder, gitignored: /tmp is wiped between build
 # rounds and round 3 lost its 1M graph snapshots exactly that way).
+# If you point MMUMAP_LADDER_DIR anywhere else, keep it OUTSIDE the
+# repo (or gitignore it yourself): only the default /.ladder/ path is
+# covered by .gitignore, and rungs write multi-GB snapshots + logs.
 # ONE TPU process at a time (axon); run this script alone.
 #
 # Each rung retries up to MMUMAP_LADDER_TRIES times (default 3): the
