@@ -60,6 +60,7 @@ import typing
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..ops import losses as L
@@ -589,7 +590,20 @@ def _split_chunk_runner(
                 # exact, so the recorded history is bit-identical.
                 loss = float(loss)
                 l_nce, g_nce = grad_nce(params, tasks, ab, key)
-                loss = loss + l_nce
+                # Serialize the THIRD dispatch the same way: the real
+                # 1M run with only the first sync still died with
+                # RESOURCE_EXHAUSTED at the apply_update enqueue --
+                # grad_nce's 6.87 GiB temp reservation is live until
+                # its execution finishes, and apply's dispatch-time
+                # buffers on top of it are what tipped the chip
+                # (.ladder try-2 forensics, 2026-08-19). Reading back
+                # l_nce drains the queue, freeing grad_nce's temps
+                # before apply enqueues. The f32 host add below is the
+                # same IEEE round-to-nearest the device add performed,
+                # so the recorded loss history stays bit-identical
+                # (gated by tests/test_layout_split.py).
+                l_nce = float(l_nce)
+                loss = np.float32(np.float32(loss) + np.float32(l_nce))
                 params, opt_state = apply_update(
                     params, opt_state, g_mod, g_nce)
             else:
