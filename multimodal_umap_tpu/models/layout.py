@@ -386,21 +386,27 @@ def make_loss_fn(
 
     ``terms`` selects which addends of the fit loss the function
     computes: ``"all"`` (the total), ``"modality"`` (per-modality
-    attraction + repulsion only) or ``"infonce"`` (the symmetric
-    InfoNCE alignment only). The per-epoch key is split identically in
-    every case, so ``loss("modality") + loss("infonce") ==
-    loss("all")`` exactly, randomness included -- the split-dispatch
-    epoch engine (:func:`_split_chunk_runner`) relies on this.
+    attraction + repulsion only), ``"infonce"`` (the symmetric
+    InfoNCE alignment only) or ``"infonce_ij"``/``"infonce_ji"`` (one
+    direction of every pair's InfoNCE -- the beyond-HBM split engine
+    dispatches the two directions separately because one direction's
+    fwd+bwd holds ~half the temp bytes of the symmetric pair). The
+    per-epoch key is split identically in every case, so
+    ``loss("modality") + loss("infonce")`` (or ``+ loss("infonce_ij")
+    + loss("infonce_ji")``) equals ``loss("all")`` up to float
+    summation order, randomness included -- the split-dispatch epoch
+    engine (:func:`_split_chunk_runner`) relies on this.
     """
     num_modes = len(statics)
-    if terms not in ("all", "modality", "infonce"):
+    if terms not in ("all", "modality", "infonce", "infonce_ij",
+                     "infonce_ji"):
         raise ValueError(f"invalid terms: {terms}")
 
     def loss_fn(params, tasks, ab, key):
         a, b = ab
         keys = jax.random.split(key, num_modes + 1)
         total = jnp.float32(0.0)
-        for i in range(num_modes if terms != "infonce" else 0):
+        for i in range(num_modes if terms in ("all", "modality") else 0):
             if mode == "fit":
                 def fit_loss(p, task, ab_, k, i=i):
                     return _fit_modality_loss(
@@ -441,10 +447,21 @@ def make_loss_fn(
             pair_key = keys[-1]
             for i in range(num_modes):
                 for j in range(i + 1, num_modes):
+                    # The key derivation below is IDENTICAL for every
+                    # ``terms`` value (both directions' keys are always
+                    # split off), so single-direction variants see the
+                    # same randomness the fused loss does.
                     pair_key, k_ij, k_ji = jax.random.split(pair_key, 3)
-                    l_ij = infonce_fn(k_ij, params[i], params[j])
-                    l_ji = infonce_fn(k_ji, params[j], params[i])
-                    total = total + alpha * (l_ij + l_ji)
+                    if terms == "infonce_ij":
+                        total = total + alpha * infonce_fn(
+                            k_ij, params[i], params[j])
+                    elif terms == "infonce_ji":
+                        total = total + alpha * infonce_fn(
+                            k_ji, params[j], params[i])
+                    else:
+                        l_ij = infonce_fn(k_ij, params[i], params[j])
+                        l_ji = infonce_fn(k_ji, params[j], params[i])
+                        total = total + alpha * (l_ij + l_ji)
         return total
 
     return loss_fn
@@ -514,7 +531,7 @@ def _split_chunk_runner(
     alpha: float,
     batch_size: int,
 ):
-    """Three-dispatch fit epoch for beyond-HBM single-device scales.
+    """Four-dispatch fit epoch for beyond-HBM single-device scales.
 
     The fused epoch program at 1M rows needs 10.07 GiB of XLA temps:
     its parts account for only 7.44 (attraction 2.58 + repulsion 2.96 +
@@ -525,17 +542,21 @@ def _split_chunk_runner(
     barrier XLA cannot undo:
 
       1. value_and_grad of the per-modality attraction+repulsion loss;
-      2. value_and_grad of the symmetric InfoNCE loss;
-      3. Adam update on the summed grads (donates params/opt_state).
+      2. value_and_grad of the i->j direction of every pair's InfoNCE;
+      3. value_and_grad of the j->i direction;
+      4. Adam update on the summed grads (donates params/opt_state).
 
-    Peak live bytes become max(dispatch peaks) + the held grads
-    (~0.5 GiB at 1M/D=64) instead of the fused program's joint peak:
-    11.85 -> ~7.9 GiB at 1M, the difference between RESOURCE_EXHAUSTED
-    (3/3 attempts, round 4) and fitting. Both sub-losses split the
-    epoch key exactly as the fused loss does, so the optimization
-    trajectory is bit-identical to the fused engine's
-    (tests/test_layout_split.py). Costs two extra dispatches per epoch
-    (~0.1-0.3 s of tunnel RPC vs the ~10 s 1M epoch).
+    with a scalar host readback after 1-3 so no two dispatches' temp
+    reservations coexist (see the run_chunk comment: the real 1M run
+    OOM'd in turn at each weaker configuration -- fused, two-dispatch,
+    joint-InfoNCE three-dispatch). Peak live bytes become
+    max(dispatch peaks) + the held grads (~1 GiB at 1M/D=64) instead
+    of the fused program's joint peak: 11.85 -> ~7 GiB at 1M. All
+    sub-losses split the epoch key exactly as the fused loss does, so
+    the trajectory matches the fused engine's up to float summation
+    order (tests/test_layout_split.py). Costs three extra dispatches +
+    readbacks per epoch (~0.1-0.3 s of tunnel RPC vs the ~10 s 1M
+    epoch).
 
     Fit mode only: transform/invert have no InfoNCE term and their
     (Q, k)-dense losses never approach HBM.
@@ -544,20 +565,37 @@ def _split_chunk_runner(
         statics, mode="fit", num_rep=num_rep, alpha=alpha,
         batch_size=batch_size, terms="modality",
     )
-    loss_nce = make_loss_fn(
-        statics, mode="fit", num_rep=num_rep, alpha=alpha,
-        batch_size=batch_size, terms="infonce",
-    )
     optimizer = optax.adam(lr)
     grad_mod = jax.jit(jax.value_and_grad(loss_mod))
     has_nce = len(statics) > 1 and alpha != 0.0
-    grad_nce = jax.jit(jax.value_and_grad(loss_nce)) if has_nce else None
+    # One dispatch PER DIRECTION of the symmetric InfoNCE: the joint
+    # grad("infonce") program holds both directions' fwd+bwd transients
+    # (6.87 GiB of XLA temps at 1M -- each direction re-materializes
+    # the extended tables + cotangents of ops/losses.py's blocked
+    # form), and the real 1M run OOM'd inside that single dispatch
+    # even with the inter-dispatch serialization below (try-1
+    # forensics 2026-08-19, post-relaunch). Each direction alone is
+    # ~half the temps; both see the same per-pair keys the fused loss
+    # derives (make_loss_fn splits k_ij/k_ji identically for every
+    # ``terms`` value).
+    grad_nce_dirs = (
+        tuple(
+            jax.jit(jax.value_and_grad(make_loss_fn(
+                statics, mode="fit", num_rep=num_rep, alpha=alpha,
+                batch_size=batch_size, terms=t,
+            )))
+            for t in ("infonce_ij", "infonce_ji")
+        )
+        if has_nce else ()
+    )
 
     @functools.partial(
-        jax.jit, donate_argnames=("params", "opt_state", "g_mod", "g_nce")
+        jax.jit, donate_argnames=("params", "opt_state", "g_mod", "g_ij",
+                                  "g_ji")
     )
-    def apply_update(params, opt_state, g_mod, g_nce):
-        grads = jax.tree_util.tree_map(jnp.add, g_mod, g_nce)
+    def apply_update(params, opt_state, g_mod, g_ij, g_ji):
+        grads = jax.tree_util.tree_map(
+            lambda a, b, c: a + b + c, g_mod, g_ij, g_ji)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state
 
@@ -574,38 +612,36 @@ def _split_chunk_runner(
             key = chunk_keys[i]
             loss, g_mod = grad_mod(params, tasks, ab, key)
             if has_nce:
-                # Serialize the two big-gradient dispatches with a true
-                # host sync (on axon only readback drains the queue,
-                # block_until_ready does not): enqueued-but-unexecuted
-                # programs hold their temp reservations, and grad_mod
-                # (4.72 GiB temps at 1M) co-reserved with grad_nce
-                # (6.87 GiB) plus ~2.3 GiB of residents lands at ~14.9
-                # GiB -- the measured edge of the chip's ~15 GiB
-                # allocatable HBM (RESOURCE_EXHAUSTED on the real 1M
-                # run, 2/2 tries; probe: tools/probe_dispatch_overlap
-                # .py + the live-array forensics in the .ladder diag
-                # log). The scalar readback costs one tunnel RTT per
-                # epoch against a ~10 s 1M epoch; it caps the peak at
-                # max(dispatch)+residents ~= 9.7 GiB. float(f32) is
-                # exact, so the recorded history is bit-identical.
-                loss = float(loss)
-                l_nce, g_nce = grad_nce(params, tasks, ab, key)
-                # Serialize the THIRD dispatch the same way: the real
-                # 1M run with only the first sync still died with
-                # RESOURCE_EXHAUSTED at the apply_update enqueue --
-                # grad_nce's 6.87 GiB temp reservation is live until
-                # its execution finishes, and apply's dispatch-time
-                # buffers on top of it are what tipped the chip
-                # (.ladder try-2 forensics, 2026-08-19). Reading back
-                # l_nce drains the queue, freeing grad_nce's temps
-                # before apply enqueues. The f32 host add below is the
-                # same IEEE round-to-nearest the device add performed,
-                # so the recorded loss history stays bit-identical
-                # (gated by tests/test_layout_split.py).
-                l_nce = float(l_nce)
-                loss = np.float32(np.float32(loss) + np.float32(l_nce))
+                grad_ij, grad_ji = grad_nce_dirs
+                # EVERY dispatch boundary here is a true host sync (on
+                # axon only readback drains the queue; block_until_ready
+                # does not): enqueued-but-unexecuted programs hold
+                # their temp reservations, so without the syncs the
+                # dispatches' temps co-reserve -- grad_mod (4.72 GiB at
+                # 1M) + the InfoNCE grads + apply landed at the chip's
+                # allocation edge (RESOURCE_EXHAUSTED on the real 1M
+                # run: 2/2 tries round 4 with no sync; again at the
+                # apply enqueue with one sync; again inside the joint
+                # two-direction InfoNCE grad with two syncs --
+                # .ladder forensics 2026-08-19, probe tools/
+                # probe_dispatch_overlap.py). With per-direction
+                # InfoNCE dispatches + a readback after each, peak
+                # stays near residents + ONE dispatch (~3.4 GiB temps
+                # for one direction at 1M). Cost: three scalar RTTs
+                # per epoch against a ~10 s 1M epoch. float(f32) is
+                # exact and the f32 host adds below perform the same
+                # IEEE round-to-nearest the device adds would, so the
+                # recorded history equals the two-dispatch engine's
+                # bit for bit and the fused engine's up to summation
+                # order (gated by tests/test_layout_split.py).
+                loss = np.float32(loss)
+                l_ij, g_ij = grad_ij(params, tasks, ab, key)
+                l_ij = np.float32(l_ij)  # sync: frees grad_ij temps
+                l_ji, g_ji = grad_ji(params, tasks, ab, key)
+                l_ji = np.float32(l_ji)  # sync: frees grad_ji temps
+                loss = loss + (l_ij + l_ji)
                 params, opt_state = apply_update(
-                    params, opt_state, g_mod, g_nce)
+                    params, opt_state, g_mod, g_ij, g_ji)
             else:
                 params, opt_state = apply_update_mod(
                     params, opt_state, g_mod)
