@@ -56,6 +56,7 @@ from __future__ import annotations
 
 import functools
 import os
+import time
 import typing
 
 import jax
@@ -385,28 +386,36 @@ def make_loss_fn(
     tuple of LayoutTask pytrees, and ``ab`` the (a, b) curve pair.
 
     ``terms`` selects which addends of the fit loss the function
-    computes: ``"all"`` (the total), ``"modality"`` (per-modality
-    attraction + repulsion only), ``"infonce"`` (the symmetric
-    InfoNCE alignment only) or ``"infonce_ij"``/``"infonce_ji"`` (one
-    direction of every pair's InfoNCE -- the beyond-HBM split engine
-    dispatches the two directions separately because one direction's
-    fwd+bwd holds ~half the temp bytes of the symmetric pair). The
-    per-epoch key is split identically in every case, so
-    ``loss("modality") + loss("infonce")`` (or ``+ loss("infonce_ij")
-    + loss("infonce_ji")``) equals ``loss("all")`` up to float
-    summation order, randomness included -- the split-dispatch epoch
-    engine (:func:`_split_chunk_runner`) relies on this.
+    computes: ``"all"`` (the total), ``"modality"`` (every modality's
+    attraction + repulsion), ``"modality_<i>"`` (ONE modality's),
+    ``"infonce"`` (the symmetric InfoNCE alignment only) or
+    ``"infonce_ij"``/``"infonce_ji"`` (one direction of every pair's
+    InfoNCE). The single-term variants exist for the beyond-HBM split
+    engine, which dispatches each addend as its own program so no two
+    terms' fwd+bwd transients ever co-reserve HBM. The per-epoch key
+    is split identically in every case (keys are drawn by INDEX, never
+    sequentially consumed), so the sum of any complete partition of
+    terms equals ``loss("all")`` up to float summation order,
+    randomness included -- :func:`_split_chunk_runner` relies on this.
     """
     num_modes = len(statics)
-    if terms not in ("all", "modality", "infonce", "infonce_ij",
-                     "infonce_ji"):
+    sel_mod = None
+    if terms.startswith("modality_"):
+        sel_mod = int(terms[len("modality_"):])
+        if not 0 <= sel_mod < num_modes:
+            raise ValueError(f"invalid terms: {terms}")
+    elif terms not in ("all", "modality", "infonce", "infonce_ij",
+                       "infonce_ji"):
         raise ValueError(f"invalid terms: {terms}")
 
     def loss_fn(params, tasks, ab, key):
         a, b = ab
         keys = jax.random.split(key, num_modes + 1)
         total = jnp.float32(0.0)
-        for i in range(num_modes if terms in ("all", "modality") else 0):
+        run_modalities = terms in ("all", "modality") or sel_mod is not None
+        for i in range(num_modes if run_modalities else 0):
+            if sel_mod is not None and i != sel_mod:
+                continue
             if mode == "fit":
                 def fit_loss(p, task, ab_, k, i=i):
                     return _fit_modality_loss(
@@ -430,8 +439,8 @@ def make_loss_fn(
                     mode=mode, a=a, b=b, num_rep=num_rep,
                     batch_size=batch_size, deterministic=deterministic,
                 )
-        if (terms != "modality" and mode == "fit" and num_modes > 1
-                and alpha != 0.0):
+        if (terms != "modality" and sel_mod is None and mode == "fit"
+                and num_modes > 1 and alpha != 0.0):
             # Symmetric InfoNCE added to both modality buckets => 2*alpha
             # effective weight (SURVEY.md §2.10c). Memory at scale is
             # handled inside the loss itself: past 64k rows it streams
@@ -531,7 +540,7 @@ def _split_chunk_runner(
     alpha: float,
     batch_size: int,
 ):
-    """Four-dispatch fit epoch for beyond-HBM single-device scales.
+    """One-dispatch-per-loss-term fit epoch for beyond-HBM scales.
 
     The fused epoch program at 1M rows needs 10.07 GiB of XLA temps:
     its parts account for only 7.44 (attraction 2.58 + repulsion 2.96 +
@@ -539,112 +548,106 @@ def _split_chunk_runner(
     transients to OVERLAP, and neither remat nor donation changes that
     within one program (AOT ablation, tools/probe_layout_memory.py).
     Compiling the addends as SEPARATE dispatches is a scheduling
-    barrier XLA cannot undo:
+    barrier XLA cannot undo. Every weaker split was measured to still
+    OOM on the real 1M run (round-4 3/3 fused; then at the apply
+    enqueue with one sync; then inside the joint two-direction InfoNCE
+    grad; then inside the joint two-modality grad on a
+    partially-reclaimed worker -- .ladder forensics 2026-08-19, probe
+    tools/probe_dispatch_overlap.py), so the epoch is maximally split:
 
-      1. value_and_grad of the per-modality attraction+repulsion loss;
-      2. value_and_grad of the i->j direction of every pair's InfoNCE;
-      3. value_and_grad of the j->i direction;
-      4. Adam update on the summed grads (donates params/opt_state).
+      1. value_and_grad of EACH modality's attraction+repulsion loss
+         (terms="modality_<i>");
+      2. value_and_grad of EACH direction of every pair's InfoNCE
+         (terms="infonce_ij"/"infonce_ji");
+      3. after each grad dispatch: a scalar host readback (on axon
+         only readback drains the queue -- enqueued-but-unexecuted
+         programs hold their temp reservations), then a donated
+         elementwise accumulate into one running grad tree;
+      4. one Adam update on the accumulated grads (donates
+         params/opt_state).
 
-    with a scalar host readback after 1-3 so no two dispatches' temp
-    reservations coexist (see the run_chunk comment: the real 1M run
-    OOM'd in turn at each weaker configuration -- fused, two-dispatch,
-    joint-InfoNCE three-dispatch). Peak live bytes become
-    max(dispatch peaks) + the held grads (~1 GiB at 1M/D=64) instead
-    of the fused program's joint peak: 11.85 -> ~7 GiB at 1M. All
-    sub-losses split the epoch key exactly as the fused loss does, so
-    the trajectory matches the fused engine's up to float summation
-    order (tests/test_layout_split.py). Costs three extra dispatches +
-    readbacks per epoch (~0.1-0.3 s of tunnel RPC vs the ~10 s 1M
-    epoch).
+    Peak live bytes become residents + ONE term's fwd+bwd temps
+    (~2.6 GiB modality / ~3.4 GiB InfoNCE-direction at 1M) + the
+    single held grad tree (~0.5 GiB), vs the fused program's 11.85 GiB
+    joint peak. All sub-losses split the epoch key exactly as the
+    fused loss does (keys are drawn by index), so the trajectory
+    matches the fused engine's up to float summation order
+    (tests/test_layout_split.py). The f32 host adds of the loss
+    scalars perform the same IEEE round-to-nearest the device adds
+    would. Costs ~2 * terms dispatches + readbacks per epoch
+    (~0.2-0.4 s of tunnel RPC against a ~10 s 1M epoch).
 
     Fit mode only: transform/invert have no InfoNCE term and their
     (Q, k)-dense losses never approach HBM.
     """
-    loss_mod = make_loss_fn(
-        statics, mode="fit", num_rep=num_rep, alpha=alpha,
-        batch_size=batch_size, terms="modality",
-    )
     optimizer = optax.adam(lr)
-    grad_mod = jax.jit(jax.value_and_grad(loss_mod))
-    has_nce = len(statics) > 1 and alpha != 0.0
-    # One dispatch PER DIRECTION of the symmetric InfoNCE: the joint
-    # grad("infonce") program holds both directions' fwd+bwd transients
-    # (6.87 GiB of XLA temps at 1M -- each direction re-materializes
-    # the extended tables + cotangents of ops/losses.py's blocked
-    # form), and the real 1M run OOM'd inside that single dispatch
-    # even with the inter-dispatch serialization below (try-1
-    # forensics 2026-08-19, post-relaunch). Each direction alone is
-    # ~half the temps; both see the same per-pair keys the fused loss
-    # derives (make_loss_fn splits k_ij/k_ji identically for every
-    # ``terms`` value).
-    grad_nce_dirs = (
-        tuple(
-            jax.jit(jax.value_and_grad(make_loss_fn(
-                statics, mode="fit", num_rep=num_rep, alpha=alpha,
-                batch_size=batch_size, terms=t,
-            )))
-            for t in ("infonce_ij", "infonce_ji")
-        )
-        if has_nce else ()
+    term_names = [f"modality_{i}" for i in range(len(statics))]
+    if len(statics) > 1 and alpha != 0.0:
+        term_names += ["infonce_ij", "infonce_ji"]
+    grad_terms = tuple(
+        jax.jit(jax.value_and_grad(make_loss_fn(
+            statics, mode="fit", num_rep=num_rep, alpha=alpha,
+            batch_size=batch_size, terms=t,
+        )))
+        for t in term_names
     )
 
+    @functools.partial(jax.jit, donate_argnames=("g_acc", "g_new"))
+    def accumulate(g_acc, g_new):
+        return jax.tree_util.tree_map(jnp.add, g_acc, g_new)
+
     @functools.partial(
-        jax.jit, donate_argnames=("params", "opt_state", "g_mod", "g_ij",
-                                  "g_ji")
+        jax.jit, donate_argnames=("params", "opt_state", "grads")
     )
-    def apply_update(params, opt_state, g_mod, g_ij, g_ji):
-        grads = jax.tree_util.tree_map(
-            lambda a, b, c: a + b + c, g_mod, g_ij, g_ji)
+    def apply_update(params, opt_state, grads):
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state
 
-    @functools.partial(
-        jax.jit, donate_argnames=("params", "opt_state", "g_mod")
-    )
-    def apply_update_mod(params, opt_state, g_mod):
-        updates, opt_state = optimizer.update(g_mod, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state
+    def grad_term_healing(grad_term, params, tasks, ab, key):
+        """One grad dispatch + its readback, self-healing on OOM.
+
+        The tunneled worker's allocation ceiling DIPS after other
+        sessions die (it reclaims their HBM asynchronously -- measured
+        2026-08-19: ~15 -> ~8 GiB across a string of process deaths,
+        recovering with idle time). A clean RESOURCE_EXHAUSTED from a
+        dispatch does NOT poison the client (unlike a worker crash),
+        and nothing was donated, so the correct response is to REST
+        IN-PROCESS and retry the same dispatch: a process death here
+        would itself add to the worker's reclamation debt and restart
+        the run minutes behind, while a pause lets the ceiling
+        recover. The readback happens inside the retry scope because
+        enqueue succeeds optimistically -- the OOM surfaces at the
+        sync."""
+        tries = int(os.environ.get("MMUMAP_OOM_RETRIES", 6))
+        wait_s = float(os.environ.get("MMUMAP_OOM_WAIT_S", 120))
+        for t in range(tries):
+            try:
+                l_t, g_t = grad_term(params, tasks, ab, key)
+                return np.float32(l_t), g_t
+            except jax.errors.JaxRuntimeError as e:
+                if "RESOURCE_EXHAUSTED" not in str(e) or t == tries - 1:
+                    raise
+                print(f"[layout] RESOURCE_EXHAUSTED on grad dispatch; "
+                      f"resting {wait_s:.0f}s for the worker to reclaim "
+                      f"(retry {t + 1}/{tries - 1})", flush=True)
+                time.sleep(wait_s)
 
     def run_chunk(params, opt_state, tasks, ab, chunk_keys):
         losses = []
         for i in range(chunk_keys.shape[0]):
             key = chunk_keys[i]
-            loss, g_mod = grad_mod(params, tasks, ab, key)
-            if has_nce:
-                grad_ij, grad_ji = grad_nce_dirs
-                # EVERY dispatch boundary here is a true host sync (on
-                # axon only readback drains the queue; block_until_ready
-                # does not): enqueued-but-unexecuted programs hold
-                # their temp reservations, so without the syncs the
-                # dispatches' temps co-reserve -- grad_mod (4.72 GiB at
-                # 1M) + the InfoNCE grads + apply landed at the chip's
-                # allocation edge (RESOURCE_EXHAUSTED on the real 1M
-                # run: 2/2 tries round 4 with no sync; again at the
-                # apply enqueue with one sync; again inside the joint
-                # two-direction InfoNCE grad with two syncs --
-                # .ladder forensics 2026-08-19, probe tools/
-                # probe_dispatch_overlap.py). With per-direction
-                # InfoNCE dispatches + a readback after each, peak
-                # stays near residents + ONE dispatch (~3.4 GiB temps
-                # for one direction at 1M). Cost: three scalar RTTs
-                # per epoch against a ~10 s 1M epoch. float(f32) is
-                # exact and the f32 host adds below perform the same
-                # IEEE round-to-nearest the device adds would, so the
-                # recorded history equals the two-dispatch engine's
-                # bit for bit and the fused engine's up to summation
-                # order (gated by tests/test_layout_split.py).
-                loss = np.float32(loss)
-                l_ij, g_ij = grad_ij(params, tasks, ab, key)
-                l_ij = np.float32(l_ij)  # sync: frees grad_ij temps
-                l_ji, g_ji = grad_ji(params, tasks, ab, key)
-                l_ji = np.float32(l_ji)  # sync: frees grad_ji temps
-                loss = loss + (l_ij + l_ji)
-                params, opt_state = apply_update(
-                    params, opt_state, g_mod, g_ij, g_ji)
-            else:
-                params, opt_state = apply_update_mod(
-                    params, opt_state, g_mod)
+            loss = np.float32(0.0)
+            g_acc = None
+            for grad_term in grad_terms:
+                # The readback is a true host sync: it frees this
+                # dispatch's temps before the next one enqueues (on
+                # axon only readback drains the queue). float(f32) is
+                # exact.
+                l_t, g_t = grad_term_healing(
+                    grad_term, params, tasks, ab, key)
+                loss = loss + l_t
+                g_acc = g_t if g_acc is None else accumulate(g_acc, g_t)
+            params, opt_state = apply_update(params, opt_state, g_acc)
             losses.append(loss)
         return params, opt_state, jnp.stack(losses)
 

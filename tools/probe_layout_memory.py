@@ -120,8 +120,13 @@ def main():
         key = jax.ShapeDtypeStruct((2,), jnp.uint32)
         grads = params
         opt_state = jax.eval_shape(optax.adam(lr).init, params)
-        for label, terms in (("grad_mod", "modality"),
-                             ("grad_nce", "infonce")):
+        term_list = [(f"grad_{t}", t) for t in
+                     [f"modality_{i}" for i in range(len(statics))]
+                     + ["infonce_ij", "infonce_ji"]]
+        # Legacy joint programs for comparison:
+        term_list += [("grad_mod(joint)", "modality"),
+                      ("grad_nce(joint)", "infonce")]
+        for label, terms in term_list:
             loss = LY.make_loss_fn(
                 tuple(statics), mode="fit", num_rep=num_rep, alpha=alpha,
                 batch_size=batch_size, terms=terms)
