@@ -624,7 +624,11 @@ def _split_chunk_runner(
             try:
                 l_t, g_t = grad_term(params, tasks, ab, key)
                 return np.float32(l_t), g_t
-            except jax.errors.JaxRuntimeError as e:
+            except Exception as e:  # noqa: BLE001 -- filtered below
+                # The OOM's exception TYPE varies with where it
+                # surfaces (JaxRuntimeError at the readback,
+                # ValueError at dispatch-time allocation), so filter
+                # on the backend's error string, not the type.
                 if "RESOURCE_EXHAUSTED" not in str(e) or t == tries - 1:
                     raise
                 print(f"[layout] RESOURCE_EXHAUSTED on grad dispatch; "
