@@ -532,6 +532,39 @@ def _split_grad_rows() -> int:
     return int(os.environ.get("MMUMAP_SPLIT_GRAD_ROWS", 600_000))
 
 
+def call_with_oom_healing(fn, *args):
+    """Call ``fn(*args)`` with in-process rest-and-retry on a clean
+    device OOM.
+
+    The tunneled worker's allocation ceiling DIPS after other sessions
+    die (it reclaims their HBM asynchronously -- measured 2026-08-19:
+    ~15 -> ~8 GiB across a string of process deaths, recovering with
+    idle time). A clean RESOURCE_EXHAUSTED from a dispatch does NOT
+    poison the client (unlike a worker crash), so the correct response
+    is to REST IN-PROCESS (``MMUMAP_OOM_WAIT_S``, default 120 s) and
+    retry the same call up to ``MMUMAP_OOM_RETRIES`` times: a process
+    death here would itself add to the worker's reclamation debt and
+    restart the run minutes behind, while a pause lets the ceiling
+    recover. The OOM's exception TYPE varies with where it surfaces
+    (JaxRuntimeError at the readback, ValueError at dispatch-time
+    allocation), so the filter is on the backend's error string, not
+    the type. Callers must NOT donate ``args``: a retry re-dispatches
+    with the same buffers.
+    """
+    tries = int(os.environ.get("MMUMAP_OOM_RETRIES", 6))
+    wait_s = float(os.environ.get("MMUMAP_OOM_WAIT_S", 120))
+    for t in range(tries):
+        try:
+            return fn(*args)
+        except Exception as e:  # noqa: BLE001 -- filtered below
+            if "RESOURCE_EXHAUSTED" not in str(e) or t == tries - 1:
+                raise
+            print(f"[layout] RESOURCE_EXHAUSTED on grad dispatch; "
+                  f"resting {wait_s:.0f}s for the worker to reclaim "
+                  f"(retry {t + 1}/{tries - 1})", flush=True)
+            time.sleep(wait_s)
+
+
 @functools.lru_cache(maxsize=16)
 def _split_chunk_runner(
     statics: tuple,
@@ -603,38 +636,14 @@ def _split_chunk_runner(
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state
 
-    def grad_term_healing(grad_term, params, tasks, ab, key):
-        """One grad dispatch + its readback, self-healing on OOM.
-
-        The tunneled worker's allocation ceiling DIPS after other
-        sessions die (it reclaims their HBM asynchronously -- measured
-        2026-08-19: ~15 -> ~8 GiB across a string of process deaths,
-        recovering with idle time). A clean RESOURCE_EXHAUSTED from a
-        dispatch does NOT poison the client (unlike a worker crash),
-        and nothing was donated, so the correct response is to REST
-        IN-PROCESS and retry the same dispatch: a process death here
-        would itself add to the worker's reclamation debt and restart
-        the run minutes behind, while a pause lets the ceiling
-        recover. The readback happens inside the retry scope because
+    def grad_term_once(grad_term, params, tasks, ab, key):
+        """One grad dispatch + its readback. The readback happens
+        inside the healing retry scope (call_with_oom_healing) because
         enqueue succeeds optimistically -- the OOM surfaces at the
-        sync."""
-        tries = int(os.environ.get("MMUMAP_OOM_RETRIES", 6))
-        wait_s = float(os.environ.get("MMUMAP_OOM_WAIT_S", 120))
-        for t in range(tries):
-            try:
-                l_t, g_t = grad_term(params, tasks, ab, key)
-                return np.float32(l_t), g_t
-            except Exception as e:  # noqa: BLE001 -- filtered below
-                # The OOM's exception TYPE varies with where it
-                # surfaces (JaxRuntimeError at the readback,
-                # ValueError at dispatch-time allocation), so filter
-                # on the backend's error string, not the type.
-                if "RESOURCE_EXHAUSTED" not in str(e) or t == tries - 1:
-                    raise
-                print(f"[layout] RESOURCE_EXHAUSTED on grad dispatch; "
-                      f"resting {wait_s:.0f}s for the worker to reclaim "
-                      f"(retry {t + 1}/{tries - 1})", flush=True)
-                time.sleep(wait_s)
+        sync. Nothing here is donated, so a retry re-dispatches the
+        same buffers."""
+        l_t, g_t = grad_term(params, tasks, ab, key)
+        return np.float32(l_t), g_t
 
     def run_chunk(params, opt_state, tasks, ab, chunk_keys):
         losses = []
@@ -647,8 +656,8 @@ def _split_chunk_runner(
                 # dispatch's temps before the next one enqueues (on
                 # axon only readback drains the queue). float(f32) is
                 # exact.
-                l_t, g_t = grad_term_healing(
-                    grad_term, params, tasks, ab, key)
+                l_t, g_t = call_with_oom_healing(
+                    grad_term_once, grad_term, params, tasks, ab, key)
                 loss = loss + l_t
                 g_acc = g_t if g_acc is None else accumulate(g_acc, g_t)
             params, opt_state = apply_update(params, opt_state, g_acc)
