@@ -357,6 +357,16 @@ class MultimodalUMAP:
                 graphs.append(graph)
                 denses.append(dense)
                 inits.append(init)
+            # Python loop variables outlive the loop: ``feats`` still
+            # references the LAST modality's device table here, and fit
+            # holds it until return -- through the whole layout phase.
+            # At 1M that is the 8 GiB bf16 image table pinned in HBM
+            # *after* _offload_features replaced self.data with host
+            # copies (the .ladder try-1 forensics 2026-08-20: table
+            # live on device AND unpinned_host at the layout OOM).
+            # Cached-graph runs never enter this loop, which is why
+            # resumed rungs historically fit where fresh ones OOM'd.
+            del feats, graph, dense, init
             if fingerprints is not None:
                 with self.timer.phase("fit/graph_cache_save"):
                     ckpt.save_graph_cache(

@@ -245,3 +245,54 @@ def test_feature_offload_lifecycle(blobs, monkeypatch, tmp_path):
         np.asarray(model.data[1], dtype=np.float32),
     )
     assert loaded.embeds[0].dtype == jnp.float32
+
+
+def test_no_device_table_pinned_at_layout_entry(blobs, monkeypatch):
+    """No fit-internal reference may pin a feature table's DEVICE
+    buffer once the layout phase starts.
+
+    Regression test for the 1M-rung OOM (2026-08-20 .ladder try-1
+    forensics): the graph-build loop's ``feats`` variable outlived the
+    loop, keeping the last modality's 8 GiB bf16 device table live
+    through all 600 layout epochs even though _offload_features had
+    already staged host copies. Observed here by spying on
+    mixture.train_layout: at fit's layout entry, with offload forced,
+    zero live jax.Arrays may still carry a feature-table shape (the
+    CPU offload fallback reads tables back to numpy, so a surviving
+    device buffer can only be a leaked reference).
+    """
+    import gc
+
+    import jax
+
+    from multimodal_umap_tpu.models import mixture as MX
+
+    monkeypatch.setattr(MX, "_DATA_OFFLOAD_BYTES", 0)
+    x0, x1, _ = blobs
+    table_shapes = {x0.shape, x1.shape}
+    pinned = {}
+    real_train_layout = MX.train_layout
+
+    def in_default_memory(a):
+        dev = next(iter(a.devices()))
+        default_kind = dev.default_memory().kind
+        return getattr(a.sharding, "memory_kind",
+                       default_kind) == default_kind
+
+    def spy(*args, **kwargs):
+        if "n" not in pinned:  # fit's call only
+            gc.collect()
+            pinned["n"] = sum(
+                a.shape in table_shapes and not a.is_deleted()
+                and in_default_memory(a)
+                for a in jax.live_arrays()
+            )
+        return real_train_layout(*args, **kwargs)
+
+    monkeypatch.setattr(MX, "train_layout", spy)
+    model = MultimodalUMAP(10, 4, 0.1, num_encoders=2)
+    model.fit([x0, x1], epochs=12, num_rep=4, lr=0.05, alpha=0.5,
+              batch_size=64)
+    assert pinned["n"] == 0, (
+        f"{pinned['n']} feature-table device buffer(s) still live at "
+        f"layout entry -- a fit-internal reference leak")
