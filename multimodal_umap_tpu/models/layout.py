@@ -56,6 +56,7 @@ from __future__ import annotations
 
 import functools
 import os
+import re
 import time
 import typing
 
@@ -199,7 +200,15 @@ def _fit_modality_loss(
     num_rep: int,
     batch_size: int,
     deterministic: bool,
+    part: str = "both",
 ) -> jax.Array:
+    """``part`` selects the attraction ("attr"), repulsion ("rep") or
+    full ("both") addend. The PRNG splits and the keep/row-count
+    machinery are computed identically for every part (keys are drawn
+    by index), so attr + rep == both exactly at draw level -- the
+    beyond-HBM split engine dispatches the two halves as separate
+    programs whose temps never co-reserve HBM (the 1M per-modality
+    grad still carried ~4.6 GiB of fwd+bwd temps as ONE program)."""
     n, k = task.nbrs.shape
     key_f, key_b, key_neg = jax.random.split(key, 3)
 
@@ -225,6 +234,22 @@ def _fit_modality_loss(
     rowcnt = keep_f.sum(axis=1) + bwd_cnt
     inv_row = _inv_window_coef(rowcnt, batch_size, static.num_windows)
 
+    if part == "rep":
+        loss_attr = jnp.float32(0.0)
+    else:
+        loss_attr = _fit_attraction(embed, task, keep_f, keep_b,
+                                    inv_row, a=a, b=b)
+    if num_rep == 0 or part == "attr":
+        return loss_attr
+
+    loss_rep = _fit_repulsion(embed, static, key, rowcnt, inv_row,
+                              a=a, b=b, num_rep=num_rep)
+    if part == "rep":
+        return loss_rep
+    return loss_attr + loss_rep
+
+
+def _fit_attraction(embed, task, keep_f, keep_b, inv_row, *, a, b):
     # Both copies of a pair share f(x_i, x_j); windows differ: the
     # forward copy is windowed by i, the transposed copy by j.
     coef = keep_f * inv_row[:, None] + keep_b * inv_row[task.nbrs]
@@ -240,6 +265,7 @@ def _fit_modality_loss(
     # 10 GB of bf16 features), so the attraction scans the k neighbor
     # slots with rematerialization: per-slot transients are (N, D) and
     # total traffic is unchanged.
+    n, k = task.nbrs.shape
     if n * k * embed.shape[1] * 4 > _ATTR_SLOT_BYTES:
         def slot(acc, xs):
             nbrs_m, coef_m = xs  # (N,), (N,)
@@ -256,16 +282,20 @@ def _fit_modality_loss(
         y = embed[task.nbrs]  # (N, k, D)
         attr = L.umap_attr(embed[:, None, :], y, a, b)  # (N, k)
         loss_attr = jnp.sum(coef * attr)
+    return loss_attr
 
-    if num_rep == 0:
-        return loss_attr
 
+def _fit_repulsion(embed, static, key, rowcnt, inv_row, *, a, b, num_rep):
     # Row-level permutation negatives; each row's kept entries share the
     # round's negative (see module docstring). One permutation gather
     # serves all ``num_rep`` rounds: round r's negative for row i is
     # permuted[(i + off_r) % n], i.e. a contiguous roll of the permuted
     # table -- uniform marginals per round at 1/num_rep the irregular
     # traffic (and sorts) of fresh per-round permutations.
+    n = embed.shape[0]
+    # Key indices match _fit_modality_loss exactly: the repulsion only
+    # ever consumes the key_neg lane.
+    _, _, key_neg = jax.random.split(key, 3)
     rep_coef = rowcnt * inv_row  # (N,)
 
     key_negperm, key_base, key_negoff = jax.random.split(key_neg, 3)
@@ -298,8 +328,7 @@ def _fit_modality_loss(
         jnp.zeros(n, dtype=jnp.float32),
         offs,
     )
-    loss_rep = jnp.sum(rep_coef * (rep_sum / num_rep))
-    return loss_attr + loss_rep
+    return jnp.sum(rep_coef * (rep_sum / num_rep))
 
 
 def _query_modality_loss(
@@ -400,8 +429,13 @@ def make_loss_fn(
     """
     num_modes = len(statics)
     sel_mod = None
+    sel_part = "both"
     if terms.startswith("modality_"):
-        sel_mod = int(terms[len("modality_"):])
+        m = re.fullmatch(r"modality_(\d+)(?:_(attr|rep))?", terms)
+        if m is None:
+            raise ValueError(f"invalid terms: {terms}")
+        sel_mod = int(m.group(1))
+        sel_part = m.group(2) or "both"
         if not 0 <= sel_mod < num_modes:
             raise ValueError(f"invalid terms: {terms}")
     elif terms not in ("all", "modality", "infonce", "infonce_ij",
@@ -423,6 +457,7 @@ def make_loss_fn(
                         a=ab_[0], b=ab_[1], num_rep=num_rep,
                         batch_size=batch_size,
                         deterministic=deterministic,
+                        part=sel_part,
                     )
 
                 if statics[i].num_rows > _MODALITY_REMAT_ROWS:
@@ -588,8 +623,8 @@ def _split_chunk_runner(
     partially-reclaimed worker -- .ladder forensics 2026-08-19, probe
     tools/probe_dispatch_overlap.py), so the epoch is maximally split:
 
-      1. value_and_grad of EACH modality's attraction+repulsion loss
-         (terms="modality_<i>");
+      1. value_and_grad of EACH modality's attraction and repulsion
+         losses SEPARATELY (terms="modality_<i>_attr"/"_rep");
       2. value_and_grad of EACH direction of every pair's InfoNCE
          (terms="infonce_ij"/"infonce_ji");
       3. after each grad dispatch: a scalar host readback (on axon
@@ -614,7 +649,17 @@ def _split_chunk_runner(
     (Q, k)-dense losses never approach HBM.
     """
     optimizer = optax.adam(lr)
-    term_names = [f"modality_{i}" for i in range(len(statics))]
+    # Finest partition: each modality's attraction and repulsion are
+    # separate dispatches too (2026-08-20: at 1M even the single
+    # joint-modality grad's ~4.6 GiB of temps OOM'd on a worker whose
+    # ceiling was sunk by prior process deaths; the halves carry ~2.3
+    # GiB each). Cost is ~2 extra dispatches+readbacks per modality per
+    # epoch -- ~0.1 s of tunnel RPC against a ~10 s 1M epoch.
+    term_names = []
+    for i in range(len(statics)):
+        term_names.append(f"modality_{i}_attr")
+        if num_rep > 0:
+            term_names.append(f"modality_{i}_rep")
     if len(statics) > 1 and alpha != 0.0:
         term_names += ["infonce_ij", "infonce_ji"]
     grad_terms = tuple(
